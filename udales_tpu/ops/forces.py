@@ -1,0 +1,162 @@
+"""Body forces, large-scale forcings, damping, and flow-rate corrections.
+
+Re-derivations of src/modforces.f90:
+  - forces (:46-133): large-scale pressure gradient + buoyancy on w
+  - coriolis / lprofforc (:600-717)
+  - masscorr (:328-497): fixed volume-flow-rate correction (luvolflowr path)
+  - nudge (:826-859), and modboundary.f90 grwdamp (:1447-1491).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from ..config import Config, const
+from ..grid import Grid
+from .stencil import kvec, sh, shw
+from .thermo import avexy_masked
+
+
+def forces(g, grid: Grid, cfg: Config, dpdxl, dpdyl, thv0h=None, thvh=None,
+           thlpcar=None):
+    """Return (du, dv, dw) tendencies (modforces.f90:46-133).
+
+    dpdxl/dpdyl are (nz,) profiles; buoyancy uses half-level thv.  The w
+    tendency is zero at the lowest interior level (wp(kb)=0, :125)."""
+    nx, ny, nz = grid.shape
+    du = -jnp.broadcast_to(dpdxl[None, None, :], (nx, ny, nz))
+    dv = -jnp.broadcast_to(dpdyl[None, None, :], (nx, ny, nz))
+    dw = jnp.zeros((nx, ny, nz + 1), du.dtype)
+    if cfg.physics.lbuoyancy:
+        # interior faces 1..nz-1 (k=kb+1..ke)
+        b = const.grav * (thv0h[..., 1:nz] - thvh[None, None, 1:nz]) \
+            / thvh[None, None, 1:nz]
+        dw = dw.at[..., 1:nz].set(b)
+    return du, dv, dw
+
+
+def coriolis(g, grid: Grid, cfg: Config, ug=None, vg=None):
+    """Coriolis force or geostrophic profile forcing
+    (modforces.f90:600-717)."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
+    import math
+    phi = cfg.physics.xlat * math.pi / 180.0
+    omega = 7.292e-5
+    om22 = 2.0 * omega * math.cos(phi)
+    om23 = 2.0 * omega * math.sin(phi)
+    u, v, w = g.u, g.v, g.w
+    if cfg.physics.lcoriol:
+        du = ((S(v, 0, 0, 0) + S(v, 0, 1, 0) + S(v, -1, 0, 0) + S(v, -1, 1, 0))
+              * om23 * 0.25
+              - (Sw(w, 0, 0, 0) + Sw(w, 0, 0, 1) + Sw(w, -1, 0, 1)
+                 + Sw(w, -1, 0, 0)) * om22 * 0.25)
+        dv = -(S(u, 0, 0, 0) + S(u, 0, -1, 0) + S(u, 1, -1, 0)
+               + S(u, 1, 0, 0)) * om23 * 0.25
+        # w-faces 1..nz-1 (k=kb+1..ke)
+        nf = nz - 1
+        dzf = grid.j("dzf_g")
+        dzf_km = kvec(dzf, 1, nf)
+        dzf_k = kvec(dzf, 2, nf)
+        dzh_k = kvec(grid.j("dzh"), 1, nf)
+        C = lambda A, di, dk: A[1 + di: 1 + di + nx, 1: 1 + ny,
+                                1 + dk: 1 + dk + nf]
+        dwf = ((dzf_km * (C(u, 0, 1) + C(u, 1, 1))
+                + dzf_k * (C(u, 0, 0) + C(u, 1, 0))) / dzh_k) * om22 * 0.25
+        dw = jnp.concatenate(
+            [jnp.zeros((nx, ny, 1), du.dtype), dwf,
+             jnp.zeros((nx, ny, 1), du.dtype)], axis=2)
+        return du, dv, dw
+    if cfg.physics.lprofforc:
+        du = om23 * (ug[None, None, :] - S(u, 0, 0, 0))
+        dv = jnp.zeros((nx, ny, nz), du.dtype)
+        dw = jnp.zeros((nx, ny, nz + 1), du.dtype)
+        return du, dv, dw
+    z3 = jnp.zeros((nx, ny, nz), g.u.dtype)
+    return z3, z3, jnp.zeros((nx, ny, nz + 1), g.u.dtype)
+
+
+def grwdamp(c, grid: Grid, cfg: Config, u0av, v0av, thl0av, qt0av,
+            ug=None, vg=None):
+    """Sponge-layer gravity-wave damping (modboundary.f90:38-62, 1447-1491).
+    Returns tendencies for (u, v, w, thl, qt)."""
+    import numpy as np
+    nx, ny, nz = grid.shape
+    igrw = cfg.physics.igrw_damp
+    zero = (jnp.zeros((nx, ny, nz), c.u.dtype),
+            jnp.zeros((nx, ny, nz), c.u.dtype),
+            jnp.zeros((nx, ny, nz + 1), c.u.dtype),
+            jnp.zeros((nx, ny, nz), c.u.dtype),
+            jnp.zeros((nx, ny, nz), c.u.dtype))
+    if igrw == 0:
+        return zero
+    # tsc profile (initboundary:45-59), rnu0 = 2.75e-3
+    rnu0 = 2.75e-3
+    ksp = max(min(3 * nz // 4, nz - 15), 1)
+    zf = grid.zf
+    zspb, zspt = zf[ksp], zf[nz - 1]
+    tsc = np.zeros(nz)
+    tsc[ksp:] = rnu0 * np.sin(
+        0.5 * np.pi * (zf[ksp:] - zspb) / (zspt - zspb)) ** 2
+    tsc = jnp.asarray(tsc, c.u.dtype)[None, None, :]
+    tscw = jnp.concatenate([tsc[..., :1] * 0, tsc], axis=2)
+
+    if igrw == 2:
+        uref, vref = ug[None, None, :], vg[None, None, :]
+    else:
+        uref, vref = u0av[None, None, :], v0av[None, None, :]
+    du = -(c.u - uref) * tsc
+    dv = -(c.v - vref) * tsc
+    dw = -c.w * tscw
+    dthl = -(c.thl - thl0av[None, None, :]) * tsc
+    dqt = -(c.qt - qt0av[None, None, :]) * tsc
+    if igrw == 1 and cfg.physics.lcoriol:
+        fac = (1.0 / (cfg.physics.geodamptime * rnu0)) * tsc
+        du = du - (c.u - ug[None, None, :]) * fac
+        dv = dv - (c.v - vg[None, None, :]) * fac
+    return du, dv, dw, dthl, dqt
+
+
+def masscorr_uvol(up, um, grid: Grid, cfg: Config, rk3coef, IIu, IIus=None):
+    """Fixed volume-flow-rate correction, luvolflowr path
+    (modforces.f90:394-422): uniform udef added so that the volume-averaged
+    provisional u matches uflowrate."""
+    nz = grid.ktot
+    uvol = avexy_masked(up, IIu)
+    uvolold = avexy_masked(um, IIu)
+    dzf = grid.j("dzf_g")[1: nz + 1]
+    zh_top = grid.zh[-1]
+    uoutflow = rk3coef * jnp.sum(uvol * dzf) / zh_top
+    uflowrateold = jnp.sum(uvolold * dzf) / zh_top
+    udef = cfg.physics.uflowrate - (uoutflow + uflowrateold)
+    return up + udef / rk3coef
+
+
+def masscorr_vvol(vp, vm, grid: Grid, cfg: Config, rk3coef, IIv, IIvs=None):
+    nz = grid.ktot
+    vvol = avexy_masked(vp, IIv)
+    vvolold = avexy_masked(vm, IIv)
+    dzf = grid.j("dzf_g")[1: nz + 1]
+    zh_top = grid.zh[-1]
+    voutflow = rk3coef * jnp.sum(vvol * dzf) / zh_top
+    vflowrateold = jnp.sum(vvolold * dzf) / zh_top
+    vdef = cfg.physics.vflowrate - (voutflow + vflowrateold)
+    return vp + vdef / rk3coef
+
+
+def nudge_top(c, grid: Grid, cfg: Config, unudge, vnudge, thlnudge, qtnudge):
+    """Relax the top nnudge cells to profiles (modforces.f90:826-859)."""
+    nx, ny, nz = grid.shape
+    n = cfg.physics.nnudge
+    if n <= 0:
+        z3 = jnp.zeros((nx, ny, nz), c.u.dtype)
+        return z3, z3, z3, z3
+    mask = (jnp.arange(nz) >= nz - n)[None, None, :]
+    tnudgei = 1.0 / cfg.physics.tnudge
+    du = -mask * (c.u - unudge[None, None, :]) * tnudgei
+    dv = -mask * (c.v - vnudge[None, None, :]) * tnudgei
+    dthl = -mask * (c.thl - thlnudge[None, None, :]) * tnudgei
+    dqt = -mask * (c.qt - qtnudge[None, None, :]) * tnudgei
+    return du, dv, dthl, dqt

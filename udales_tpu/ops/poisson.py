@@ -1,0 +1,188 @@
+"""FFT-based pressure-Poisson solver.
+
+TPU-native redesign of src/modpois.f90 (POISS_FFT2D path, :419-712):
+the reference transposes z->y->x pencils and runs 1-D FFTW transforms per
+line; here the solve is expressed as whole-array batched FFTs + a vertical
+tridiagonal solve, and XLA inserts the all-to-all reshard collectives when the
+arrays are sharded over a device mesh (the direct analogue of the 2DECOMP
+transposes, SURVEY.md section 2.3).
+
+  rhs(x,y,z) --rfft(x)--> --fft(y)--> modal tridiag in k --> inverse path
+
+Eigenvalues follow modpois.f90:99-146; tridiagonal coefficients and the
+Neumann/Dirichlet closure follow modpois.f90:148-220; the singular (0,0) mode
+is pinned with the reference's Dirichlet-across-the-top-cell trick
+(modpois.f90:208-220).  The Thomas solve is reformulated as two first-order
+linear recurrences evaluated with `lax.associative_scan` (log-depth on TPU).
+
+Non-periodic directions use DCT-II/DCT-III implemented with an even-extension
+rFFT (XLA has no native DCT).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import BC_PERIODIC, Config
+from ..grid import Grid
+
+
+# ---------------------------------------------------------------------------
+# DCT via even extension (for Neumann directions, modpois.f90 REDFT10/01)
+# ---------------------------------------------------------------------------
+
+def dct2(x, axis: int):
+    """DCT-II along `axis` (unnormalized, FFTW REDFT10 convention)."""
+    n = x.shape[axis]
+    ext = jnp.concatenate([x, jnp.flip(x, axis)], axis=axis)
+    X = jnp.fft.fft(ext, axis=axis)
+    k = jnp.arange(n)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    tw = jnp.exp(-1j * jnp.pi * k / (2 * n)).reshape(shape)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, n)
+    return jnp.real(X[tuple(sl)] * tw)
+
+
+def idct2(x, axis: int):
+    """Exact inverse of :func:`dct2` (= DCT-III / 2n, FFTW REDFT01).
+
+    Reconstructs the length-2n spectrum G[k] = X[k] e^{i pi k / 2n} with the
+    even-extension symmetries G[n]=0, G[2n-k]=conj(G[k]), inverts with ifft,
+    and keeps the first n samples."""
+    n = x.shape[axis]
+    k = jnp.arange(n)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    tw = jnp.exp(1j * jnp.pi * k / (2 * n)).reshape(shape)
+    G = x * tw
+    zshape = list(x.shape)
+    zshape[axis] = 1
+    z = jnp.zeros(zshape, G.dtype)
+    sl_tail = [slice(None)] * x.ndim
+    sl_tail[axis] = slice(1, n)
+    Gtail = jnp.conj(jnp.flip(G[tuple(sl_tail)], axis))
+    Gfull = jnp.concatenate([G, z, Gtail], axis=axis)
+    ext = jnp.real(jnp.fft.ifft(Gfull, axis=axis))
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, n)
+    return ext[tuple(sl)]
+
+
+class PoissonSolver:
+    """Precomputed spectral-tridiagonal solver (reference initpois,
+    modpois.f90:66-226)."""
+
+    def __init__(self, grid: Grid, cfg: Config, rhobf=None, rhobh=None):
+        self.grid = grid
+        self.cfg = cfg
+        nx, ny, nz = grid.shape
+        self.per_x = cfg.bc.BCxm == BC_PERIODIC
+        self.per_y = cfg.bc.BCym == BC_PERIODIC
+        rhobf = np.ones(nz) if rhobf is None else np.asarray(rhobf)
+        rhobh = np.ones(nz + 1) if rhobh is None else np.asarray(rhobh)
+
+        dxi, dyi = grid.dxi, grid.dyi
+        # eigenvalues (modpois.f90:100-146); complex-FFT indexing
+        if self.per_x:
+            mx = np.arange(nx // 2 + 1)
+            xrt = -4.0 * dxi * dxi * np.sin(np.pi * mx / nx) ** 2
+        else:
+            mx = np.arange(nx)
+            xrt = -4.0 * dxi * dxi * np.sin(np.pi * mx / (2 * nx)) ** 2
+        if self.per_y:
+            my = np.arange(ny)
+            yrt = -4.0 * dyi * dyi * np.sin(np.pi * my / ny) ** 2
+        else:
+            my = np.arange(ny)
+            yrt = -4.0 * dyi * dyi * np.sin(np.pi * my / (2 * ny)) ** 2
+
+        # tridiagonal coefficients (modpois.f90:153-177)
+        dzf = grid.dzf
+        dzh = grid.dzh
+        a = rhobh[:nz] / (dzf * dzh[:nz])
+        c = rhobh[1:] / (dzf * dzh[1:])
+        b = -(a + c)
+        b_top_N = b[-1] + c[-1]
+        b_top_D = b[-1] - c[-1]
+        b = b.copy()
+        b[0] = b[0] + a[0]       # Neumann bottom
+        b[-1] = b_top_N          # Neumann top
+        a = a.copy(); c = c.copy()
+        a[0] = 0.0
+        c[-1] = 0.0
+
+        lam = xrt[:, None] + yrt[None, :]                   # (mx, my)
+        D = b[None, None, :] + rhobf[None, None, :] * lam[:, :, None]
+        # pin the singular (0,0) mode via Dirichlet across the top cell
+        # (modpois.f90:208-220)
+        zero = np.isclose(lam, 0.0)
+        D[..., -1] = np.where(zero, b_top_D, D[..., -1])
+
+        # precompute Thomas factors: w_k = 1/(D_k - a_k cp_{k-1}), cp_k = c_k w_k
+        w = np.empty_like(D)
+        cp = np.empty_like(D)
+        w[..., 0] = 1.0 / D[..., 0]
+        cp[..., 0] = c[0] * w[..., 0]
+        for k in range(1, nz):
+            w[..., k] = 1.0 / (D[..., k] - a[k] * cp[..., k - 1])
+            cp[..., k] = c[k] * w[..., k]
+
+        fdt = np.float32 if grid.dtype == np.float32 else np.float64
+        self.a = jnp.asarray(a, fdt)
+        self.w = jnp.asarray(w, fdt)
+        self.cp = jnp.asarray(cp, fdt)
+        self.Af = jnp.asarray(-(a[None, None, :] * w), fdt)  # forward multiplier
+
+    def _tridiag(self, rhs):
+        """Solve per-mode tridiagonal systems, rhs (mx, my, nz) complex."""
+        # forward: y_k = Af_k y_{k-1} + (rhs_k w_k)
+        B = rhs * self.w
+        Af = jnp.broadcast_to(self.Af, B.shape).astype(B.dtype)
+
+        def combine(l, r):
+            al, bl = l
+            ar, br = r
+            return al * ar, ar * bl + br
+
+        _, y = jax.lax.associative_scan(combine, (Af, B), axis=2)
+        # backward: x_k = (-cp_k) x_{k+1} + y_k  (scan reversed)
+        Ab = jnp.broadcast_to(-self.cp, y.shape).astype(B.dtype)
+        _, x = jax.lax.associative_scan(combine, (Ab, y), axis=2, reverse=True)
+        return x
+
+    def solve(self, rhs):
+        """rhs (nx, ny, nz) -> pressure correction p (nx, ny, nz).
+
+        Periodic-x/periodic-y path: rfft in x, fft in y, modal tridiag in k,
+        inverse transforms. Sharding constraints re-create the z->x->y pencil
+        dance of the reference when run on a mesh."""
+        if not (self.per_x and self.per_y):
+            return self._solve_neumann(rhs)
+        cplx = jnp.complex64 if rhs.dtype == jnp.float32 else jnp.complex128
+        F = jnp.fft.rfft(rhs, axis=0)
+        F = jnp.fft.fft(F, axis=1)
+        X = self._tridiag(F.astype(cplx))
+        X = jnp.fft.ifft(X, axis=1)
+        p = jnp.fft.irfft(X, n=self.grid.itot, axis=0)
+        return p.astype(rhs.dtype)
+
+    def _solve_neumann(self, rhs):
+        """Inflow/outflow (Neumann) directions via DCT (modpois.f90 REDFT
+        branches). x non-periodic assumed; y periodic or not."""
+        nx, ny, nz = self.grid.shape
+        cplx = jnp.complex64 if rhs.dtype == jnp.float32 else jnp.complex128
+        F = dct2(rhs, axis=0)
+        if self.per_y:
+            F = jnp.fft.fft(F.astype(cplx), axis=1)
+        else:
+            F = dct2(F, axis=1).astype(cplx)
+        X = self._tridiag(F)
+        if self.per_y:
+            X = jnp.real(jnp.fft.ifft(X, axis=1))
+        else:
+            X = idct2(jnp.real(X), axis=1)
+        p = idct2(X, axis=0)
+        return p.astype(rhs.dtype)

@@ -1,0 +1,404 @@
+"""Subgrid-scale closure and diffusion.
+
+Re-derivations of src/modsubgrid.f90:
+  - Vreman (2004) closure (:269-360) with optional stable-stratification
+    buoyancy correction (:332-354)
+  - Smagorinsky (:208-264)
+  - one-equation TKE (:363-400) + its source terms (`sources`, :415-538)
+  - diffusion stencils diffu (:672), diffv (:778), diffw (:890), diffc (:540),
+    diffe (:627)
+
+Model constants follow modsubgriddata.f90 defaults and the initsubgrid
+derivations (modsubgrid.f90:45-80).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+
+from ..config import SGS_DNS, SGS_ONEEQN, SGS_SMAGORINSKY, SGS_VREMAN, Config, const
+from ..grid import Grid
+from .stencil import kvec, sh, shw
+
+
+class sgs_const:
+    """Derived one-equation/Smagorinsky constants (modsubgrid.f90:62-79)."""
+    alpha_kolm = 1.5
+    cf = 2.5
+    cn = 0.76
+    Rigc = 0.25
+    ch1 = 1.0
+    dampmin = 1e-10
+
+    @staticmethod
+    def derived(prandtl: float, cf: float = 2.5, cn: float = 0.76,
+                Rigc: float = 0.25):
+        cm = cf / (2.0 * math.pi) * (1.5 * sgs_const.alpha_kolm) ** (-1.5)
+        ch = prandtl
+        ch2 = ch - sgs_const.ch1
+        ceps = 2.0 * math.pi / cf * (1.5 * sgs_const.alpha_kolm) ** (-1.5)
+        ce1 = (cn ** 2) * (cm / Rigc - sgs_const.ch1 * cm)
+        ce2 = ceps - ce1
+        return cm, ch2, ce1, ce2, ceps
+
+
+def _gradients(g, grid: Grid):
+    """Velocity-gradient tensor a_ij = du_j/dx_i at cell centres
+    (modsubgrid.f90:281-305)."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
+    u, v, w = g.u, g.v, g.w
+    dxi, dyi = grid.dxi, grid.dyi
+    dxiq, dyiq = grid.dxiq, grid.dyiq
+    dzf = grid.j("dzf_g"); dzhi = grid.j("dzhi")
+    dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+    dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+    dzfiq_k = kvec(grid.j("dzfiq"), 0, nz)
+
+    a11 = (S(u, 1, 0, 0) - S(u, 0, 0, 0)) * dxi
+    a12 = (S(v, 1, 1, 0) + S(v, 1, 0, 0) - S(v, -1, 1, 0) - S(v, -1, 0, 0)) * dxiq
+    a13 = (Sw(w, 1, 0, 1) + Sw(w, 1, 0, 0) - Sw(w, -1, 0, 1) - Sw(w, -1, 0, 0)) * dxiq
+    a21 = (S(u, 1, 1, 0) + S(u, 0, 1, 0) - S(u, 1, -1, 0) - S(u, 0, -1, 0)) * dyiq
+    a22 = (S(v, 0, 1, 0) - S(v, 0, 0, 0)) * dyi
+    a23 = (Sw(w, 0, 1, 1) + Sw(w, 0, 1, 0) - Sw(w, 0, -1, 1) - Sw(w, 0, -1, 0)) * dyiq
+    a31 = (((S(u, 1, 0, 1) + S(u, 0, 0, 1)) * dzf_k
+            + (S(u, 1, 0, 0) + S(u, 0, 0, 0)) * dzf_kp) * dzhi_kp
+           - ((S(u, 1, 0, 0) + S(u, 0, 0, 0)) * dzf_km
+              + (S(u, 1, 0, -1) + S(u, 0, 0, -1)) * dzf_k) * dzhi_k) * dzfiq_k
+    a32 = (((S(v, 0, 1, 1) + S(v, 0, 0, 1)) * dzf_k
+            + (S(v, 0, 1, 0) + S(v, 0, 0, 0)) * dzf_kp) * dzhi_kp
+           - ((S(v, 0, 1, 0) + S(v, 0, 0, 0)) * dzf_km
+              + (S(v, 0, 1, -1) + S(v, 0, 0, -1)) * dzf_k) * dzhi_k) * dzfiq_k
+    a33 = (Sw(w, 0, 0, 1) - Sw(w, 0, 0, 0)) * dzfi_k
+    return a11, a12, a13, a21, a22, a23, a31, a32, a33
+
+
+def vreman_closure(g, grid: Grid, cfg: Config, dthvdz=None, thl=None):
+    """Vreman (2004) eddy viscosity (modsubgrid.f90:269-360)."""
+    nz = grid.ktot
+    a11, a12, a13, a21, a22, a23, a31, a32, a33 = _gradients(g, grid)
+    aa = (a11 * a11 + a21 * a21 + a31 * a31 + a12 * a12 + a22 * a22
+          + a32 * a32 + a13 * a13 + a23 * a23 + a33 * a33)
+    dx2, dy2 = grid.dx2, grid.dy2
+    dzf2_k = kvec(grid.j("dzf2"), 0, nz)
+    b11 = dx2 * a11 * a11 + dy2 * a21 * a21 + dzf2_k * a31 * a31
+    b22 = dx2 * a12 * a12 + dy2 * a22 * a22 + dzf2_k * a32 * a32
+    b12 = dx2 * a11 * a12 + dy2 * a21 * a22 + dzf2_k * a31 * a32
+    b33 = dx2 * a13 * a13 + dy2 * a23 * a23 + dzf2_k * a33 * a33
+    b13 = dx2 * a11 * a13 + dy2 * a21 * a23 + dzf2_k * a31 * a33
+    b23 = dx2 * a12 * a13 + dy2 * a22 * a23 + dzf2_k * a32 * a33
+    bb = (b11 * b22 - b12 * b12 + b11 * b33 - b13 * b13
+          + b22 * b33 - b23 * b23)
+    ekm = jnp.where(bb < 1e-8, 0.0,
+                    cfg.subgrid.c_vreman * jnp.sqrt(bb / jnp.maximum(aa, 1e-30)))
+
+    if cfg.physics.lbuoyancy and cfg.subgrid.lbuoycorr:
+        # stable-stratification correction (modsubgrid.f90:332-354)
+        nx, ny, _ = grid.shape
+        S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+        u, v = g.u, g.v
+        dzh = grid.j("dzh")
+        denom = kvec(dzh, 1, nz) + kvec(dzh, 0, nz)
+        du0dz = 0.5 * ((S(u, 0, 0, 1) + S(u, 1, 0, 1))
+                       - (S(u, 0, 0, -1) + S(u, 1, 0, -1))) / denom
+        dv0dz = 0.5 * ((S(v, 0, 0, 1) + S(v, 0, 1, 1))
+                       - (S(v, 0, 0, -1) + S(v, 0, 1, -1))) / denom
+        Rig = (const.grav / thl) * dthvdz / (du0dz ** 2 + dv0dz ** 2 + 1e-10)
+        Rigc = cfg.subgrid.rigc
+        ekm = ekm * jnp.sqrt(1.0 - jnp.clip(Rig, 0.0, Rigc) / Rigc)
+
+    prandtli = 1.0 / cfg.subgrid.prandtl
+    ekh = ekm * prandtli + const.numol * const.prandtlmoli
+    ekm = ekm + const.numol
+    return ekm, ekh
+
+
+def _strain2(g, grid: Grid):
+    """Squared strain rate with cross terms (modsubgrid.f90:235-255;
+    the `sources` variant tdef2 = 2*strain2, :460-481)."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
+    u, v, w = g.u, g.v, g.w
+    dxi, dyi = grid.dxi, grid.dyi
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+    dzhi = grid.j("dzhi")
+    dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+
+    s2 = (((S(u, 1, 0, 0) - S(u, 0, 0, 0)) * dxi) ** 2
+          + ((S(v, 0, 1, 0) - S(v, 0, 0, 0)) * dyi) ** 2
+          + ((Sw(w, 0, 0, 1) - Sw(w, 0, 0, 0)) * dzfi_k) ** 2)
+    s2 = s2 + 0.125 * (
+        ((Sw(w, 0, 0, 1) - Sw(w, -1, 0, 1)) * dxi
+         + (S(u, 0, 0, 1) - S(u, 0, 0, 0)) * dzhi_kp) ** 2
+        + ((Sw(w, 0, 0, 0) - Sw(w, -1, 0, 0)) * dxi
+           + (S(u, 0, 0, 0) - S(u, 0, 0, -1)) * dzhi_k) ** 2
+        + ((Sw(w, 1, 0, 0) - Sw(w, 0, 0, 0)) * dxi
+           + (S(u, 1, 0, 0) - S(u, 1, 0, -1)) * dzhi_k) ** 2
+        + ((Sw(w, 1, 0, 1) - Sw(w, 0, 0, 1)) * dxi
+           + (S(u, 1, 0, 1) - S(u, 1, 0, 0)) * dzhi_kp) ** 2)
+    s2 = s2 + 0.125 * (
+        ((S(u, 0, 1, 0) - S(u, 0, 0, 0)) * dyi
+         + (S(v, 0, 1, 0) - S(v, -1, 1, 0)) * dxi) ** 2
+        + ((S(u, 0, 0, 0) - S(u, 0, -1, 0)) * dyi
+           + (S(v, 0, 0, 0) - S(v, -1, 0, 0)) * dxi) ** 2
+        + ((S(u, 1, 0, 0) - S(u, 1, -1, 0)) * dyi
+           + (S(v, 1, 0, 0) - S(v, 0, 0, 0)) * dxi) ** 2
+        + ((S(u, 1, 1, 0) - S(u, 1, 0, 0)) * dyi
+           + (S(v, 1, 1, 0) - S(v, 0, 1, 0)) * dxi) ** 2)
+    s2 = s2 + 0.125 * (
+        ((S(v, 0, 0, 1) - S(v, 0, 0, 0)) * dzhi_kp
+         + (Sw(w, 0, 0, 1) - Sw(w, 0, -1, 1)) * dyi) ** 2
+        + ((S(v, 0, 0, 0) - S(v, 0, 0, -1)) * dzhi_k
+           + (Sw(w, 0, 0, 0) - Sw(w, 0, -1, 0)) * dyi) ** 2
+        + ((S(v, 0, 1, 0) - S(v, 0, 1, -1)) * dzhi_k
+           + (Sw(w, 0, 1, 0) - Sw(w, 0, 0, 0)) * dyi) ** 2
+        + ((S(v, 0, 1, 1) - S(v, 0, 1, 0)) * dzhi_kp
+           + (Sw(w, 0, 1, 1) - Sw(w, 0, 0, 1)) * dyi) ** 2)
+    return s2
+
+
+def smagorinsky_closure(g, grid: Grid, cfg: Config):
+    """(modsubgrid.f90:208-264). csz = (cm^3/ceps)^(1/4) unless cs given."""
+    nz = grid.ktot
+    cm, ch2, ce1, ce2, ceps = sgs_const.derived(
+        cfg.subgrid.prandtl, cfg.subgrid.cf, cfg.subgrid.cn, cfg.subgrid.rigc)
+    csz = (cm ** 3 / ceps) ** 0.25 if cfg.subgrid.cs == -1.0 else cfg.subgrid.cs
+    mlen = csz * kvec(grid.j("delta"), 0, nz)
+    s2 = _strain2(g, grid)
+    ekm = (mlen ** 2) * jnp.sqrt(2.0 * s2)
+    prandtli = 1.0 / cfg.subgrid.prandtl
+    ekh = ekm * prandtli + const.numol * const.prandtlmoli
+    ekm = ekm + const.numol
+    return ekm, ekh
+
+
+def oneeqn_closure(g, grid: Grid, cfg: Config, e12, dthvdz, thvs):
+    """One-equation TKE closure (modsubgrid.f90:363-400)."""
+    nz = grid.ktot
+    cm, ch2, ce1, ce2, _ = sgs_const.derived(
+        cfg.subgrid.prandtl, cfg.subgrid.cf, cfg.subgrid.cn, cfg.subgrid.rigc)
+    delta_k = jnp.broadcast_to(kvec(grid.j("delta"), 0, nz), e12.shape)
+    stable = dthvdz > 0
+    zlt_stable = jnp.minimum(
+        delta_k,
+        cfg.subgrid.cn * e12 / jnp.sqrt(
+            const.grav / thvs * jnp.abs(dthvdz) + 1e-30))
+    zlt = jnp.where(stable, zlt_stable, delta_k)
+    ekm_t = cm * zlt * e12
+    ekh_t = jnp.where(stable,
+                      (sgs_const.ch1 + ch2 * zlt / delta_k) * ekm_t,
+                      (sgs_const.ch1 + ch2) * ekm_t)
+    ekm = ekm_t + const.numol
+    ekh = ekh_t + const.numol * const.prandtlmoli
+    return ekm, ekh, zlt
+
+
+def closure(g, grid: Grid, cfg: Config, e12=None, dthvdz=None, thl=None,
+            thvs=None):
+    """Dispatch (modsubgrid.f90:159-412). Returns interior ekm, ekh (and zlt
+    for the one-equation model, else None)."""
+    model = cfg.subgrid.model
+    if model == SGS_VREMAN:
+        ekm, ekh = vreman_closure(g, grid, cfg, dthvdz, thl)
+        return ekm, ekh, None
+    if model == SGS_SMAGORINSKY:
+        ekm, ekh = smagorinsky_closure(g, grid, cfg)
+        return ekm, ekh, None
+    if model == SGS_ONEEQN:
+        return oneeqn_closure(g, grid, cfg, e12, dthvdz, thvs)
+    # DNS: constant molecular coefficients
+    nx, ny, nz = grid.shape
+    ekm = jnp.full((nx, ny, nz), const.numol, grid.dtype)
+    ekh = jnp.full((nx, ny, nz), const.numol * const.prandtlmoli, grid.dtype)
+    return ekm, ekh, None
+
+
+def tke_sources(g, grid: Grid, cfg: Config, e12, ekm, ekh, dthvdz, zlt, thvs):
+    """Shear + buoyancy + dissipation sources of the e12 equation
+    (modsubgrid.f90:415-538). Applied for k >= kb+1 only (wall functions
+    handle the lowest level)."""
+    nz = grid.ktot
+    cm, ch2, ce1, ce2, _ = sgs_const.derived(
+        cfg.subgrid.prandtl, cfg.subgrid.cf, cfg.subgrid.cn, cfg.subgrid.rigc)
+    tdef2 = 2.0 * _strain2(g, grid)
+    numolh = const.numol * const.prandtlmoli
+    e12s = jnp.maximum(e12, 1e-30)
+    sbshr = (ekm - const.numol) * tdef2 / (2.0 * e12s)
+    sbbuo = -(ekh - numolh) * const.grav / thvs * dthvdz / (2.0 * e12s)
+    delta_k = jnp.broadcast_to(kvec(grid.j("delta"), 0, nz), e12.shape)
+    sbdiss = -2.0 * (ce1 + ce2 * zlt / delta_k) * e12 ** 2 / (2.0 * zlt)
+    src = sbshr + sbbuo + sbdiss
+    # zero out lowest level (reference loops k=kb+1..ke)
+    mask = (jnp.arange(nz) >= 1)[None, None, :]
+    return src * mask
+
+
+# ---------------------------------------------------------------------------
+# Diffusion stencils
+# ---------------------------------------------------------------------------
+
+def diff_u(g, grid: Grid):
+    """d/dxj(2 Km S1j) at u-points (modsubgrid.f90:672-775, LES branch)."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
+    u, v, w, ekm = g.u, g.v, g.w, g.ekm
+    dxi, dyi = grid.dxi, grid.dyi
+    dzf = grid.j("dzf_g")
+    dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+    dzhiq = grid.j("dzhiq"); dzhi = grid.j("dzhi")
+    dzhiq_k = kvec(dzhiq, 0, nz); dzhiq_kp = kvec(dzhiq, 1, nz)
+    dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+
+    ekm_c = S(ekm, 0, 0, 0); ekm_im = S(ekm, -1, 0, 0)
+    emom = (dzf_km * (ekm_c + ekm_im)
+            + dzf_k * (S(ekm, 0, 0, -1) + S(ekm, -1, 0, -1))) * dzhiq_k
+    emop = (dzf_kp * (ekm_c + ekm_im)
+            + dzf_k * (S(ekm, 0, 0, 1) + S(ekm, -1, 0, 1))) * dzhiq_kp
+    empo = 0.25 * (ekm_c + S(ekm, 0, 1, 0) + S(ekm, -1, 0, 0) + S(ekm, -1, 1, 0))
+    emmo = 0.25 * (ekm_c + S(ekm, 0, -1, 0) + S(ekm, -1, -1, 0) + S(ekm, -1, 0, 0))
+
+    t_x = (ekm_c * (S(u, 1, 0, 0) - S(u, 0, 0, 0))
+           - ekm_im * (S(u, 0, 0, 0) - S(u, -1, 0, 0))) * 2.0 * grid.dx2i
+    t_y = (empo * ((S(u, 0, 1, 0) - S(u, 0, 0, 0)) * dyi
+                   + (S(v, 0, 1, 0) - S(v, -1, 1, 0)) * dxi)
+           - emmo * ((S(u, 0, 0, 0) - S(u, 0, -1, 0)) * dyi
+                     + (S(v, 0, 0, 0) - S(v, -1, 0, 0)) * dxi)) * dyi
+    t_z = (emop * ((S(u, 0, 0, 1) - S(u, 0, 0, 0)) * dzhi_kp
+                   + (Sw(w, 0, 0, 1) - Sw(w, -1, 0, 1)) * dxi)
+           - emom * ((S(u, 0, 0, 0) - S(u, 0, 0, -1)) * dzhi_k
+                     + (Sw(w, 0, 0, 0) - Sw(w, -1, 0, 0)) * dxi)) * dzfi_k
+    return t_x + t_y + t_z
+
+
+def diff_v(g, grid: Grid):
+    """(modsubgrid.f90:778-886)."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
+    u, v, w, ekm = g.u, g.v, g.w, g.ekm
+    dxi, dyi = grid.dxi, grid.dyi
+    dzf = grid.j("dzf_g")
+    dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+    dzhiq = grid.j("dzhiq"); dzhi = grid.j("dzhi")
+    dzhiq_k = kvec(dzhiq, 0, nz); dzhiq_kp = kvec(dzhiq, 1, nz)
+    dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+
+    ekm_c = S(ekm, 0, 0, 0); ekm_jm = S(ekm, 0, -1, 0)
+    eomm = (dzf_km * (ekm_c + ekm_jm)
+            + dzf_k * (S(ekm, 0, 0, -1) + S(ekm, 0, -1, -1))) * dzhiq_k
+    eomp = (dzf_kp * (ekm_c + ekm_jm)
+            + dzf_k * (S(ekm, 0, 0, 1) + S(ekm, 0, -1, 1))) * dzhiq_kp
+    emmo = 0.25 * (ekm_c + ekm_jm + S(ekm, -1, -1, 0) + S(ekm, -1, 0, 0))
+    epmo = 0.25 * (ekm_c + ekm_jm + S(ekm, 1, -1, 0) + S(ekm, 1, 0, 0))
+
+    t_x = (epmo * ((S(v, 1, 0, 0) - S(v, 0, 0, 0)) * dxi
+                   + (S(u, 1, 0, 0) - S(u, 1, -1, 0)) * dyi)
+           - emmo * ((S(v, 0, 0, 0) - S(v, -1, 0, 0)) * dxi
+                     + (S(u, 0, 0, 0) - S(u, 0, -1, 0)) * dyi)) * dxi
+    t_y = (ekm_c * (S(v, 0, 1, 0) - S(v, 0, 0, 0))
+           - ekm_jm * (S(v, 0, 0, 0) - S(v, 0, -1, 0))) * 2.0 * grid.dy2i
+    t_z = (eomp * ((S(v, 0, 0, 1) - S(v, 0, 0, 0)) * dzhi_kp
+                   + (Sw(w, 0, 0, 1) - Sw(w, 0, -1, 1)) * dyi)
+           - eomm * ((S(v, 0, 0, 0) - S(v, 0, 0, -1)) * dzhi_k
+                     + (Sw(w, 0, 0, 0) - Sw(w, 0, -1, 0)) * dyi)) * dzfi_k
+    return t_x + t_y + t_z
+
+
+def diff_w(g, grid: Grid):
+    """(modsubgrid.f90:890-997). Face-shaped result, interior faces only."""
+    nx, ny, nz = grid.shape
+    u, v, w, ekm = g.u, g.v, g.w, g.ekm
+    h = 1
+    nf = nz - 1
+    wf = lambda di, dj, dk: w[h + di: h + di + nx, h + dj: h + dj + ny,
+                              1 + dk: 1 + dk + nf]
+    C = lambda A, di, dj, dk: A[h + di: h + di + nx, h + dj: h + dj + ny,
+                                1 + dk: 1 + dk + nf]
+    dxi, dyi = grid.dxi, grid.dyi
+    dzf = grid.j("dzf_g")
+    dzf_km = kvec(dzf, 1, nf)   # dzf[kf-1]
+    dzf_k = kvec(dzf, 2, nf)    # dzf[kf]
+    dzhiq_k = kvec(grid.j("dzhiq"), 1, nf)
+    dzhi_k = kvec(grid.j("dzhi"), 1, nf)
+    dzfi = grid.j("dzfi_g")
+    dzfi_k = kvec(dzfi, 2, nf)   # 1/dzf[kf]
+    dzfi_km = kvec(dzfi, 1, nf)  # 1/dzf[kf-1]
+
+    # cells: (di,dj,dk) with dk=1 the cell above the face, dk=0 below
+    emom = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, -1, 0, 1))
+            + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, -1, 0, 0))) * dzhiq_k
+    eomm = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 0, -1, 1))
+            + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 0, -1, 0))) * dzhiq_k
+    eopm = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 0, 1, 1))
+            + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 0, 1, 0))) * dzhiq_k
+    epom = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 1, 0, 1))
+            + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 1, 0, 0))) * dzhiq_k
+
+    wc = wf(0, 0, 0)
+    t_x = (epom * ((wf(1, 0, 0) - wc) * dxi
+                   + (C(u, 1, 0, 1) - C(u, 1, 0, 0)) * dzhi_k)
+           - emom * ((wc - wf(-1, 0, 0)) * dxi
+                     + (C(u, 0, 0, 1) - C(u, 0, 0, 0)) * dzhi_k)) * dxi
+    t_y = (eopm * ((wf(0, 1, 0) - wc) * dyi
+                   + (C(v, 0, 1, 1) - C(v, 0, 1, 0)) * dzhi_k)
+           - eomm * ((wc - wf(0, -1, 0)) * dyi
+                     + (C(v, 0, 0, 1) - C(v, 0, 0, 0)) * dzhi_k)) * dyi
+    t_z = (C(ekm, 0, 0, 1) * (wf(0, 0, 1) - wc) * dzfi_k
+           - C(ekm, 0, 0, 0) * (wc - wf(0, 0, -1)) * dzfi_km) * 2.0 * dzhi_k
+    tend = t_x + t_y + t_z
+    zeros = jnp.zeros((nx, ny, 1), tend.dtype)
+    return jnp.concatenate([zeros, tend, zeros], axis=2)
+
+
+def diff_c(gc, gekh, grid: Grid):
+    """Scalar diffusion (modsubgrid.f90:540-623, LES branch). `gc` ghosted
+    h=1/hk=1."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    dzf = grid.j("dzf_g")
+    dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+    dzh2i = grid.j("dzh2i")
+    dzh2i_k = kvec(dzh2i, 0, nz); dzh2i_kp = kvec(dzh2i, 1, nz)
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+    c = S(gc, 0, 0, 0)
+    e = S(gekh, 0, 0, 0)
+    t = 0.5 * (
+        ((S(gekh, 1, 0, 0) + e) * (S(gc, 1, 0, 0) - c)
+         - (e + S(gekh, -1, 0, 0)) * (c - S(gc, -1, 0, 0))) * grid.dx2i
+        + ((S(gekh, 0, 1, 0) + e) * (S(gc, 0, 1, 0) - c)
+           - (e + S(gekh, 0, -1, 0)) * (c - S(gc, 0, -1, 0))) * grid.dy2i
+        + ((dzf_kp * e + dzf_k * S(gekh, 0, 0, 1)) * (S(gc, 0, 0, 1) - c) * dzh2i_kp
+           - (dzf_km * e + dzf_k * S(gekh, 0, 0, -1)) * (c - S(gc, 0, 0, -1)) * dzh2i_k
+           ) * dzfi_k)
+    return t
+
+
+def diff_e(g, grid: Grid):
+    """TKE diffusion with doubled coefficient (modsubgrid.f90:627-667)."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    gekm, ge = g.ekm, g.e12
+    dzf = grid.j("dzf_g")
+    dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+    dzh2i = grid.j("dzh2i")
+    dzh2i_k = kvec(dzh2i, 0, nz); dzh2i_kp = kvec(dzh2i, 1, nz)
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+    c = S(ge, 0, 0, 0)
+    e = S(gekm, 0, 0, 0)
+    t = 1.0 * (
+        ((S(gekm, 1, 0, 0) + e) * (S(ge, 1, 0, 0) - c)
+         - (e + S(gekm, -1, 0, 0)) * (c - S(ge, -1, 0, 0))) * grid.dx2i
+        + ((S(gekm, 0, 1, 0) + e) * (S(ge, 0, 1, 0) - c)
+           - (e + S(gekm, 0, -1, 0)) * (c - S(ge, 0, -1, 0))) * grid.dy2i
+        + ((dzf_kp * e + dzf_k * S(gekm, 0, 0, 1)) * (S(ge, 0, 0, 1) - c) * dzh2i_kp
+           - (dzf_km * e + dzf_k * S(gekm, 0, 0, -1)) * (c - S(ge, 0, 0, -1)) * dzh2i_k
+           ) * dzfi_k)
+    return t

@@ -1,0 +1,337 @@
+"""Model assembly and RK3 time integration.
+
+Functional re-derivation of the reference main loop (src/program.f90:133-223)
+and Wicker-Skamarock RK3 (src/modtstep.f90): one `substep` evaluates every
+tendency, projects with the Poisson solver, and integrates
+
+    c = m + rk3coef * tend,   rk3coef = dt / (4 - rk3step)
+
+with m <- c on the third substep.  Everything is jit-compatible; `run` wraps
+N full steps in `lax.scan` so adaptive-dt simulation runs entirely on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (IADV_CD2, IADV_KAPPA, IADV_UPW, SGS_ONEEQN, Config, const)
+from .grid import Grid
+from .state import Fields, State, initial_state, profile_fields, randomize
+from .io.inputs import CaseInputs, large_scale_pressure_gradient
+from .ops import advection as adv
+from .ops import subgrid as sgs
+from .ops.boundary import Ghosts, make_ghosts, ghost_w
+from .ops.forces import coriolis, forces, grwdamp, masscorr_uvol, masscorr_vvol
+from .ops.halo import pad_periodic_xy
+from .ops.poisson import PoissonSolver
+from .ops.thermo import ThermoDiag, thermodynamics
+from .ibm.bottom import bottom_tendencies
+
+
+class Model:
+    """Holds static configuration + precomputed operators for one case.
+
+    The reference analogue is the whole collection of init* routines
+    (program.f90:63-124); everything mutable lives in `State`."""
+
+    def __init__(self, cfg: Config, grid: Grid, inputs: Optional[CaseInputs] = None,
+                 ibm=None):
+        self.cfg = cfg
+        self.grid = grid
+        self.ibm = ibm
+        self.pois = PoissonSolver(grid, cfg)
+        nz = grid.ktot
+        fdt = grid.dtype
+        if inputs is not None:
+            dpdxl, dpdyl = large_scale_pressure_gradient(inputs.lscale, cfg)
+            self.dpdxl = jnp.asarray(dpdxl, fdt)
+            self.dpdyl = jnp.asarray(dpdyl, fdt)
+            self.ug = jnp.asarray(inputs.lscale["ug"], fdt)
+            self.vg = jnp.asarray(inputs.lscale["vg"], fdt)
+            self.thlpcar = jnp.asarray(inputs.lscale["thlpcar"], fdt)
+        else:
+            self.dpdxl = jnp.zeros(nz, fdt)
+            self.dpdyl = jnp.zeros(nz, fdt)
+            self.ug = jnp.zeros(nz, fdt)
+            self.vg = jnp.zeros(nz, fdt)
+            self.thlpcar = jnp.zeros(nz, fdt)
+        self.inputs = inputs
+
+    # -- initial condition -------------------------------------------------
+    def cold_start(self, seed: int = 43, dt0: float | None = None) -> State:
+        """Profile initialization + randomization
+        (modstartup.readinitfiles:943)."""
+        cfg, grid = self.cfg, self.grid
+        ins = self.inputs
+        nz = grid.ktot
+        if ins is not None:
+            p = ins.prof
+            svprof = ins.scalar
+            f = profile_fields(grid, p["u"], p["v"], p["thl"], p["qt"],
+                               np.maximum(p["e12"], const.e12min), svprof)
+        else:
+            f = profile_fields(grid, np.zeros(nz), np.zeros(nz),
+                               288.0 * np.ones(nz), np.zeros(nz),
+                               const.e12min * np.ones(nz),
+                               np.zeros((cfg.scalars.nsv, nz)))
+        if cfg.run.randomize:
+            key = jax.random.PRNGKey(seed)
+            f = randomize(f, key, cfg.run.randu,
+                          min(cfg.run.krand, grid.ktot))
+        if self.ibm is not None:
+            f = self.ibm.apply_initial_masks(f)
+        dt0 = dt0 if dt0 is not None else min(cfg.run.dtmax, 0.1)
+        return initial_state(grid, f, dt0=dt0)
+
+    # -- one RK3 substep ---------------------------------------------------
+    def substep(self, state: State, rk3step: int) -> State:
+        cfg, grid = self.cfg, self.grid
+        nx, ny, nz = grid.shape
+        c, m = state.c, state.m
+        dt = state.dt
+        rk3coef = dt / (4.0 - rk3step)
+        ltemp = cfg.physics.ltempeq
+        lmoist = cfg.physics.lmoist
+        nsv = c.sv.shape[0]
+
+        # --- thermodynamics diagnostics (program.f90:215 runs at the end of
+        # the previous substep; functionally identical evaluated here) ------
+        masks = self.ibm.masks if self.ibm is not None else None
+        th = thermodynamics(c, cfg, grid, masks)
+
+        # --- SGS closure (modsubgrid.closure) ------------------------------
+        gvel = _velocity_ghosts(c, cfg, grid)
+        thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
+        ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
+                                    dthvdz=th.dthvdz, thl=c.thl, thvs=thvs)
+
+        g = make_ghosts(c, ekm, ekh, cfg, grid)
+
+        # --- advection (+ pressure-gradient term, modadvection) ------------
+        gp = pad_periodic_xy(state.pres, 1)
+        du = adv.adv_u(g, grid) - (gp[1:-1, 1:-1, :] - gp[:-2, 1:-1, :]) * grid.dxi
+        dv = adv.adv_v(g, grid) - (gp[1:-1, 1:-1, :] - gp[1:-1, :-2, :]) * grid.dyi
+        dw = adv.adv_w(g, grid)
+        dzhi = grid.j("dzhi")
+        dp_z = (state.pres[:, :, 1:] - state.pres[:, :, :-1]) \
+            * dzhi[1:nz][None, None, :]
+        dw = dw.at[..., 1:nz].add(-dp_z)
+
+        dthl = adv.adv_c2(g.thl, g, grid) if ltemp else jnp.zeros_like(c.thl)
+        if ltemp and self.cfg.iadv_thl == IADV_KAPPA:
+            gthl_k = _kappa_ghost_scalar(c.thl, cfg)
+            dthl = adv.adv_kappa(gthl_k, g, grid)
+        dqt = adv.adv_c2(g.qt, g, grid) if lmoist else jnp.zeros_like(c.qt)
+        de12 = (adv.adv_c2(g.e12, g, grid)
+                if cfg.subgrid.model == SGS_ONEEQN else jnp.zeros_like(c.e12))
+        if nsv > 0:
+            dsv = jax.vmap(lambda gc: adv.adv_kappa(gc, g, grid))(g.sv)
+        else:
+            dsv = c.sv
+
+        # --- subgrid diffusion ---------------------------------------------
+        du = du + sgs.diff_u(g, grid)
+        dv = dv + sgs.diff_v(g, grid)
+        dw = dw + sgs.diff_w(g, grid)
+        if ltemp:
+            dthl = dthl + sgs.diff_c(g.thl, g.ekh, grid)
+        if lmoist:
+            dqt = dqt + sgs.diff_c(g.qt, g.ekh, grid)
+        if nsv > 0:
+            gsv1 = jax.vmap(lambda s: s[1:-1, 1:-1, 1:-1])(g.sv)  # h=1 view
+            dsv = dsv + jax.vmap(lambda gc: sgs.diff_c(gc, g.ekh, grid))(gsv1)
+        if cfg.subgrid.model == SGS_ONEEQN:
+            de12 = de12 + sgs.diff_e(g, grid)
+            de12 = de12 + sgs.tke_sources(g, grid, cfg, c.e12, ekm, ekh,
+                                          th.dthvdz, zlt, thvs)
+
+        # --- floor wall functions (modibm.bottom) --------------------------
+        bu, bv, bthl, bqt, bsv = bottom_tendencies(g, cfg, grid, nsv)
+        du, dv = du + bu, dv + bv
+        dthl, dqt = dthl + bthl, dqt + bqt
+
+        # --- coriolis / forces / damping -----------------------------------
+        cu, cv, cw = coriolis(g, grid, cfg, self.ug, self.vg)
+        du, dv, dw = du + cu, dv + cv, dw + cw
+        fu, fv, fw = forces(g, grid, cfg, self.dpdxl, self.dpdyl,
+                            th.thv0h, th.thvh)
+        du, dv, dw = du + fu, dv + fv, dw + fw
+        if ltemp:
+            dthl = dthl + self.thlpcar[None, None, :]
+        if cfg.physics.igrw_damp != 0:
+            gu_, gv_, gw_, gthl_, gqt_ = grwdamp(
+                c, grid, cfg, th.u0av, th.v0av, th.thl0av, th.qt0av,
+                self.ug, self.vg)
+            du, dv, dw = du + gu_, dv + gv_, dw + gw_
+            dthl, dqt = dthl + gthl_, dqt + gqt_
+
+        # --- IBM wall functions + masks ------------------------------------
+        if self.ibm is not None:
+            du, dv, dw, dthl, dqt, dsv = self.ibm.wallfun(
+                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv)
+
+        # --- mass-flow-rate correction (modforces.masscorr) ----------------
+        if cfg.physics.luvolflowr:
+            IIu = self.ibm.masks.u if self.ibm is not None else \
+                jnp.ones((nx, ny, nz), du.dtype)
+            du = masscorr_uvol(du, m.u, grid, cfg, rk3coef, IIu)
+        if cfg.physics.lvvolflowr:
+            IIv = self.ibm.masks.v if self.ibm is not None else \
+                jnp.ones((nx, ny, nz), dv.dtype)
+            dv = masscorr_vvol(dv, m.v, grid, cfg, rk3coef, IIv)
+
+        # --- IBM: zero solid normal velocities (ibmnorm) -------------------
+        if self.ibm is not None:
+            du, dv, dw, dthl, dsv = self.ibm.ibmnorm(
+                c, m, grid, cfg, du, dv, dw, dthl, dsv, rk3coef)
+
+        # --- forces hard-zeroes wp at the floor (modforces.f90:125) --------
+        dw = dw.at[..., 0].set(0.0)
+
+        # --- pressure projection (modpois.poisson) -------------------------
+        du, dv, dw, p = self._project(du, dv, dw, m, rk3coef)
+        pres = state.pres + p
+
+        # --- integrate (modtstep.tstep_integrate) --------------------------
+        e12_new = m.e12 + rk3coef * de12
+        c_new = Fields(
+            u=m.u + rk3coef * du,
+            v=m.v + rk3coef * dv,
+            w=(m.w + rk3coef * dw).at[..., 0].set(0.0),
+            thl=m.thl + rk3coef * dthl if ltemp else m.thl,
+            qt=m.qt + rk3coef * dqt if lmoist else m.qt,
+            e12=jnp.maximum(const.e12min, e12_new),
+            sv=m.sv + rk3coef * dsv if nsv > 0 else m.sv,
+        )
+        m_new = m
+        if cfg.subgrid.model == SGS_ONEEQN:
+            m_new = dataclasses.replace(
+                m_new, e12=jnp.maximum(const.e12min, m.e12))
+        if rk3step == 3:
+            m_new = c_new
+        return state.replace(c=c_new, m=m_new, pres=pres)
+
+    def _project(self, du, dv, dw, m: Fields, rk3coef):
+        """fillps + poisson + tderive (modpois.f90:911-998, 419-712,
+        1001-1105)."""
+        grid, cfg = self.grid, self.cfg
+        nx, ny, nz = grid.shape
+        rk3coefi = 1.0 / rk3coef
+        pup = du + m.u * rk3coefi
+        pvp = dv + m.v * rk3coefi
+        pwp = dw + m.w * rk3coefi
+        # bcpup: impermeable bottom/top for the projected velocity
+        pwp = pwp.at[..., 0].set(0.0).at[..., nz].set(0.0)
+        # divergence of the provisional velocity (fillps:965-973)
+        gpu = pad_periodic_xy(pup, 1)
+        gpv = pad_periodic_xy(pvp, 1)
+        dzfi = grid.j("dzfi")
+        rhs = ((gpu[2:, 1:-1, :] - gpu[1:-1, 1:-1, :]) * grid.dxi
+               + (gpv[1:-1, 2:, :] - gpv[1:-1, 1:-1, :]) * grid.dyi
+               + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
+        p = self.pois.solve(rhs)
+        # tderive: subtract grad p from the tendencies
+        gp = pad_periodic_xy(p, 1)
+        du = du - (gp[1:-1, 1:-1, :] - gp[:-2, 1:-1, :]) * grid.dxi
+        dv = dv - (gp[1:-1, 1:-1, :] - gp[1:-1, :-2, :]) * grid.dyi
+        dzhi = grid.j("dzhi")
+        dw = dw.at[..., 1:nz].add(
+            -(p[:, :, 1:] - p[:, :, :-1]) * dzhi[1:nz][None, None, :])
+        return du, dv, dw, p
+
+    # -- dt control (modtstep.tstep_update:49-154) --------------------------
+    def new_dt(self, state: State, ekm=None, ekh=None):
+        cfg, grid = self.cfg, self.grid
+        if not cfg.run.ladaptive:
+            return jnp.asarray(cfg.run.dtmax, state.dt.dtype)
+        m = state.m
+        nz = grid.ktot
+        dzh = grid.j("dzh")
+        courtot_per_dt = jnp.max(
+            jnp.abs(m.u) * grid.dxi + jnp.abs(m.v) * grid.dyi
+            + jnp.abs(m.w[..., :nz]) / dzh[:nz][None, None, :])
+        dt = state.dt
+        candidates = [cfg.run.dtmax,
+                      cfg.courant / jnp.maximum(courtot_per_dt, 1e-12)]
+        if ekm is not None:
+            dzh2i = grid.j("dzh2i")
+            diff_per_dt = jnp.maximum(
+                jnp.max(ekm * (dzh2i[:nz][None, None, :] + grid.dx2i
+                               + grid.dy2i)),
+                jnp.max(ekh * (dzh2i[:nz][None, None, :] + grid.dx2i
+                               + grid.dy2i)))
+            candidates.append(cfg.run.diffnr / jnp.maximum(diff_per_dt, 1e-12))
+        new = jnp.minimum(candidates[0], jnp.minimum(candidates[1],
+                          candidates[2] if len(candidates) > 2 else np.inf))
+        return new.astype(dt.dtype)
+
+    # -- full step -----------------------------------------------------------
+    def step(self, state: State) -> State:
+        """One full RK3 timestep (3 substeps) + dt/time bookkeeping."""
+        # dt from the previous step's fields (tstep_update at rk3step==1)
+        gvel = _velocity_ghosts(state.m, self.cfg, self.grid)
+        masks = self.ibm.masks if self.ibm is not None else None
+        th = thermodynamics(state.m, self.cfg, self.grid, masks)
+        thvs = self.cfg.bc.thls if self.cfg.bc.thls > 0 else 288.0
+        ekm, ekh, _ = sgs.closure(gvel, self.grid, self.cfg, e12=state.m.e12,
+                                  dthvdz=th.dthvdz, thl=state.m.thl, thvs=thvs)
+        dt = self.new_dt(state, ekm, ekh)
+        state = state.replace(dt=dt, timee=state.timee + dt)
+        for rk3step in (1, 2, 3):
+            state = self.substep(state, rk3step)
+        return state
+
+    def run(self, state: State, nsteps: int) -> State:
+        """N steps under lax.scan — fully on device."""
+        def body(s, _):
+            return self.step(s), None
+        final, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return final
+
+    def step_jit(self):
+        return jax.jit(self.step)
+
+
+def _velocity_ghosts(f: Fields, cfg: Config, grid: Grid) -> Ghosts:
+    """Minimal ghost set (u, v, w only) for closure/dt before ekm exists."""
+    from .ops.boundary import ghost_u, ghost_v
+    return Ghosts(
+        u=ghost_u(f.u, cfg), v=ghost_v(f.v, cfg), w=ghost_w(f.w, cfg),
+        thl=None, qt=None, e12=None, sv=None, ekm=None, ekh=None)
+
+
+def _kappa_ghost_scalar(cfield, cfg):
+    from .ops.boundary import ghost_scalar_kappa
+    return ghost_scalar_kappa(cfield, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Case loading convenience
+# ---------------------------------------------------------------------------
+
+def load_case(case_dir: str | Path, expnr: str | None = None,
+              dtype: str = "float32", with_ibm: bool = True) -> Model:
+    """Build a Model from a reference case directory (namoptions + inputs)."""
+    from .config import load_namoptions
+    case_dir = Path(case_dir)
+    if expnr is None:
+        nam = sorted(case_dir.glob("namoptions.*"))[0]
+        expnr = nam.suffix[1:]
+    cfg = load_namoptions(case_dir / f"namoptions.{expnr}", dtype=dtype)
+    dom = cfg.domain
+    np_dt = np.float32 if dtype == "float32" else np.float64
+    grid = Grid.from_prof_inp(case_dir / f"prof.inp.{expnr}", dom.itot,
+                              dom.jtot, dom.ktot, dom.xlen, dom.ylen,
+                              dtype=np_dt)
+    inputs = CaseInputs.load(case_dir, expnr, dom.ktot, cfg.scalars.nsv)
+    ibm = None
+    if with_ibm and cfg.walls.nfcts > 0:
+        from .ibm.ibm import IBM
+        ibm = IBM.load(case_dir, expnr, cfg, grid)
+    return Model(cfg, grid, inputs, ibm)
