@@ -118,9 +118,11 @@ class Grid:
 
     # -- jnp views --------------------------------------------------------
     def j(self, name: str):
-        """Metric as a jnp array in the solver dtype (cached)."""
+        """Metric as a solver-dtype array constant (cached NumPy — safe to
+        reuse across jit traces; jnp arrays created inside a trace would leak
+        tracers)."""
         if name not in self._jnp_cache:
-            self._jnp_cache[name] = jnp.asarray(
+            self._jnp_cache[name] = np.asarray(
                 getattr(self, name), dtype=self.dtype)
         return self._jnp_cache[name]
 

@@ -75,9 +75,11 @@ class PoissonSolver:
     """Precomputed spectral-tridiagonal solver (reference initpois,
     modpois.f90:66-226)."""
 
-    def __init__(self, grid: Grid, cfg: Config, rhobf=None, rhobh=None):
+    def __init__(self, grid: Grid, cfg: Config, rhobf=None, rhobh=None,
+                 mesh=None):
         self.grid = grid
         self.cfg = cfg
+        self.mesh = mesh  # jax.sharding.Mesh for explicit pencil resharding
         nx, ny, nz = grid.shape
         self.per_x = cfg.bc.BCxm == BC_PERIODIC
         self.per_y = cfg.bc.BCym == BC_PERIODIC
@@ -162,12 +164,30 @@ class PoissonSolver:
         if not (self.per_x and self.per_y):
             return self._solve_neumann(rhs)
         cplx = jnp.complex64 if rhs.dtype == jnp.float32 else jnp.complex128
-        F = jnp.fft.rfft(rhs, axis=0)
-        F = jnp.fft.fft(F, axis=1)
-        X = self._tridiag(F.astype(cplx))
-        X = jnp.fft.ifft(X, axis=1)
-        p = jnp.fft.irfft(X, n=self.grid.itot, axis=0)
-        return p.astype(rhs.dtype)
+        xp = self._pencil("x")   # i local (x-pencil): P(None, 'y', 'x')
+        yp = self._pencil("y")   # j local (y-pencil): P('x', None, 'y')
+        zp = self._pencil("z")   # k local (z-pencil): P('x', 'y', None)
+        # constrain both sides of every FFT so the partitioner never splits
+        # the transform axis (it would, and XLA's partitioned c128 FFT is
+        # broken); the reshards between pencils become all-to-alls.
+        F = xp(jnp.fft.rfft(xp(rhs), axis=0))
+        F = yp(jnp.fft.fft(yp(F), axis=1))
+        X = self._tridiag(zp(F.astype(cplx)))
+        X = yp(jnp.fft.ifft(yp(X), axis=1))
+        p = xp(jnp.fft.irfft(xp(X), n=self.grid.itot, axis=0))
+        return zp(p).astype(rhs.dtype)
+
+    def _pencil(self, which: str):
+        """Resharding constraint factory re-creating the 2DECOMP pencil
+        transposes (modpois.f90:459-548) as GSPMD all-to-alls.  Identity when
+        no mesh is attached (single-device)."""
+        if self.mesh is None:
+            return lambda x: x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = {"x": P(None, "y", "x"), "y": P("x", None, "y"),
+                "z": P("x", "y", None)}[which]
+        sh = NamedSharding(self.mesh, spec)
+        return lambda x: jax.lax.with_sharding_constraint(x, sh)
 
     def _solve_neumann(self, rhs):
         """Inflow/outflow (Neumann) directions via DCT (modpois.f90 REDFT

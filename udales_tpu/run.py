@@ -41,11 +41,12 @@ class Model:
     (program.f90:63-124); everything mutable lives in `State`."""
 
     def __init__(self, cfg: Config, grid: Grid, inputs: Optional[CaseInputs] = None,
-                 ibm=None):
+                 ibm=None, mesh=None):
         self.cfg = cfg
         self.grid = grid
         self.ibm = ibm
-        self.pois = PoissonSolver(grid, cfg)
+        self.mesh = mesh   # jax.sharding.Mesh for multi-chip runs
+        self.pois = PoissonSolver(grid, cfg, mesh=mesh)
         nz = grid.ktot
         fdt = grid.dtype
         if inputs is not None:
