@@ -1,0 +1,692 @@
+"""Immersed boundary method: solid masks, facet-section wall functions,
+diffusion corrections.
+
+TPU-native re-derivation of src/modibm.f90.  The reference keeps per-rank
+sparse point lists and loops over them; here the static geometry is
+precomputed on the host into
+
+  - dense 0/1 fluid masks (mask_u/v/w/c; createmasks :2102 and initibm :150)
+  - flat section arrays per staggered grid (facet id, area, boundary-point
+    ijk, wall distance, static skip flags; initibmwallfun :273)
+
+and the runtime operators are whole-array mask arithmetic plus
+gather -> transfer-coefficient -> segment/scatter-add over sections
+(wallfunmom :1286, wallfunheat :1436, diffu/v/w/c_corr :990-1164,
+ibmnorm/solid :697-826).
+
+The reconstruction-point path (lcomprec=false, trilinear interpolation at
+points deeper in the log layer) is not yet implemented; all active sections
+use the boundary-point interpolation, which is the reference's behaviour
+under its `lnorec` switch.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, const
+from ..grid import Grid
+from ..io.inputs import (read_column_file, read_facet_sections,
+                         read_facets_inp, read_sparse_ijk)
+from .wallfn import UMIN
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Masks:
+    """Dense 0/1 fluid masks. u/v/c are cell-count shaped; w is face-shaped
+    with face 0 (the domain floor) masked solid (modibm.f90:156, 2177)."""
+    u: Any
+    v: Any
+    w: Any
+    c: Any
+
+
+@dataclass(frozen=True)
+class SecData:
+    """Facet sections for one staggered grid (static, host-side)."""
+    ijk: np.ndarray      # (S,3) 0-based boundary-point indices
+    area: np.ndarray     # (S,)
+    dist: np.ndarray     # (S,) wall distance
+    fac: np.ndarray      # (S,) facet id, 0-based
+    active: np.ndarray   # (S,) bool: not skipped (modibm.f90:371-380, 1364)
+
+
+class IBM:
+    def __init__(self, cfg: Config, grid: Grid, masks: Masks,
+                 sec_u: SecData, sec_v: SecData, sec_w: SecData,
+                 sec_c: SecData, facnorm, facz0, facz0h, facT, faca,
+                 bndpts_c: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.grid = grid
+        self.masks = masks
+        self.sec = {"u": sec_u, "v": sec_v, "w": sec_w, "c": sec_c}
+        self.facnorm = facnorm       # (nfcts,3)
+        self.facz0 = facz0
+        self.facz0h = facz0h
+        self.facT = jnp.asarray(facT, grid.dtype)  # evolves with EB later
+        self.faca = faca
+        self.nfcts = len(facz0)
+        self.bndpts_c = bndpts_c
+        self._prep()
+
+    # ------------------------------------------------------------------
+    # Loading (initibm + initfac readers)
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(cls, case_dir: str | Path, expnr: str, cfg: Config, grid: Grid):
+        case_dir = Path(case_dir)
+        nx, ny, nz = grid.shape
+
+        def mask_from(fname, shape, n_expected):
+            m = np.ones(shape, np.float32)
+            p = case_dir / fname
+            if p.exists() and n_expected != 0:
+                pts = read_sparse_ijk(p)
+                m[pts[:, 0], pts[:, 1], pts[:, 2]] = 0.0
+            return m
+
+        w = cfg.walls
+        mask_u = mask_from("solid_u.txt", (nx, ny, nz), w.nsolpts_u)
+        mask_v = mask_from("solid_v.txt", (nx, ny, nz), w.nsolpts_v)
+        mask_w = mask_from("solid_w.txt", (nx, ny, nz + 1), w.nsolpts_w)
+        mask_c = mask_from("solid_c.txt", (nx, ny, nz), w.nsolpts_c)
+        mask_w[:, :, 0] = 0.0   # floor faces always solid (modibm.f90:156)
+
+        # facet data (initfac.readfacetfiles)
+        walltype, facnorm = read_facets_inp(case_dir / f"facets.inp.{expnr}")
+        ft = np.loadtxt(case_dir / f"factypes.inp.{expnr}", skiprows=3,
+                        ndmin=2)
+        # columns: wallid lGR z0 z0h al em ... (initfac.f90:166-193)
+        typemap = {int(r[0]): r for r in ft}
+        facz0 = np.array([typemap[int(t)][2] for t in walltype])
+        facz0h = np.array([typemap[int(t)][3] for t in walltype])
+        faca_p = case_dir / f"facetarea.inp.{expnr}"
+        faca = (read_column_file(faca_p) if faca_p.exists()
+                else np.ones(len(facz0)))
+        tfac_p = case_dir / f"Tfacinit.inp.{expnr}"
+        facT = (read_column_file(tfac_p) if tfac_p.exists()
+                else np.full(len(facz0), cfg.bc.thls if cfg.bc.thls > 0
+                             else 288.0))
+
+        def load_sec(sfx, dir_align):
+            bnd_p = case_dir / f"fluid_boundary_{sfx}.txt"
+            sec_p = case_dir / f"facet_sections_{sfx}.txt"
+            if not sec_p.exists():
+                z = np.zeros(0)
+                return SecData(np.zeros((0, 3), np.int64), z, z,
+                               np.zeros(0, np.int64), z.astype(bool)), None
+            bndpts = read_sparse_ijk(bnd_p)
+            fac, area, bnd_id, dist = read_facet_sections(sec_p)
+            ijk = bndpts[bnd_id]
+            if sfx == "w":
+                ijk = ijk.copy()  # Fortran w index k is face zh(k) = 0-based face k-1...
+                # read_sparse_ijk already subtracted 1, so ijk[:,2] is the
+                # 0-based face index directly (Fortran w(k) at zh(k)).
+            # static skip logic (initibmwallfun:371-383 + wallfunmom:1364)
+            norm_align = _alignment(facnorm[fac])
+            skip = np.zeros(len(fac), bool)
+            if dir_align != 0:
+                skip |= (norm_align == dir_align)
+            skip |= facz0[fac] < const.eps1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                skip |= ~(np.log(np.maximum(dist, 1e-30) / facz0[fac]) > 1.0)
+            return SecData(ijk=ijk, area=area, dist=dist, fac=fac,
+                           active=~skip), bndpts
+
+        sec_u, _ = load_sec("u", 1)
+        sec_v, _ = load_sec("v", 2)
+        sec_w, _ = load_sec("w", 3)
+        sec_c, bndpts_c = load_sec("c", 0)
+
+        masks = Masks(u=jnp.asarray(mask_u, grid.dtype),
+                      v=jnp.asarray(mask_v, grid.dtype),
+                      w=jnp.asarray(mask_w, grid.dtype),
+                      c=jnp.asarray(mask_c, grid.dtype))
+        return cls(cfg, grid, masks, sec_u, sec_v, sec_w, sec_c,
+                   facnorm, facz0, facz0h, facT, faca, bndpts_c)
+
+    def _prep(self):
+        """Device-resident gathered per-section constants."""
+        g = self.grid
+        self.dev = {}
+        for name, s in self.sec.items():
+            if len(s.fac) == 0:
+                self.dev[name] = None
+                continue
+            act = s.active
+            d = dict(
+                i=jnp.asarray(s.ijk[act, 0], jnp.int32),
+                jj=jnp.asarray(s.ijk[act, 1], jnp.int32),
+                k=jnp.asarray(s.ijk[act, 2], jnp.int32),
+                area=jnp.asarray(s.area[act], g.dtype),
+                dist=jnp.asarray(s.dist[act], g.dtype),
+                fac=jnp.asarray(s.fac[act], jnp.int32),
+                norm=jnp.asarray(self.facnorm[s.fac[act]], g.dtype),
+                z0=jnp.asarray(self.facz0[s.fac[act]], g.dtype),
+                z0h=jnp.asarray(self.facz0h[s.fac[act]], g.dtype),
+            )
+            self.dev[name] = d
+        # padded masks for neighbour logic (periodic x/y; k ghosts: bottom
+        # solid, top fluid — modibm.f90:156-159)
+        def padm(m, wface=False):
+            mp = jnp.pad(m, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+            bot = jnp.zeros_like(mp[:, :, :1])
+            top = jnp.ones_like(mp[:, :, :1])
+            return jnp.concatenate([bot, mp, top], axis=2)
+        self.pmask_u = padm(self.masks.u)
+        self.pmask_v = padm(self.masks.v)
+        self.pmask_c = padm(self.masks.c)
+        # w: face array (nx,ny,nz+1); pad xy only + one top ghost (fluid)
+        mw = jnp.pad(self.masks.w, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        self.pmask_w = jnp.concatenate(
+            [mw, jnp.ones_like(mw[:, :, :1])], axis=2)
+
+    # ------------------------------------------------------------------
+    # Initial conditions
+    # ------------------------------------------------------------------
+    def apply_initial_masks(self, f):
+        import dataclasses
+        return dataclasses.replace(
+            f, u=f.u * self.masks.u, v=f.v * self.masks.v,
+            w=f.w * self.masks.w)
+
+    # ------------------------------------------------------------------
+    # Wall functions (ibmwallfun)
+    # ------------------------------------------------------------------
+    def wallfun(self, g, c, grid: Grid, cfg: Config,
+                du, dv, dw, dthl, dqt, dsv):
+        """Facet-section wall stresses + heat fluxes + diffusion corrections
+        (modibm.f90:1167-1283)."""
+        if cfg.walls.iwallmom > 1:
+            du = du + self._wallfunmom("u", c, grid, cfg)
+            dv = dv + self._wallfunmom("v", c, grid, cfg)
+            dw = dw + self._wallfunmom("w", c, grid, cfg)
+        du = du + self._diffu_corr(g, grid)
+        dv = dv + self._diffv_corr(g, grid)
+        dw = dw + self._diffw_corr(g, grid)
+        if cfg.physics.ltempeq or cfg.physics.lmoist:
+            hthl, hqt, self.fachf, self.facef = self._wallfunheat(
+                c, grid, cfg)
+            dthl = dthl + hthl
+            dqt = dqt + hqt
+            if cfg.physics.ltempeq:
+                dthl = dthl + self._diffc_corr(g.thl, g.ekh, grid)
+            if cfg.physics.lmoist:
+                dqt = dqt + self._diffc_corr(g.qt, g.ekh, grid)
+        if dsv.shape[0] > 0:
+            gsv1 = jax.vmap(lambda s: s[1:-1, 1:-1, 1:-1])(g.sv)
+            dsv = dsv + jax.vmap(
+                lambda gc: self._diffc_corr(gc, g.ekh, grid))(gsv1)
+        return du, dv, dw, dthl, dqt, dsv
+
+    def _gather_uvw(self, which, c, grid):
+        """Interpolated velocity vector + air temperature at the active
+        boundary points of one staggered grid (interp_velocity_* and
+        interp_temperature_*, modibm.f90:1737-1829)."""
+        d = self.dev[which]
+        nx, ny, nz = grid.shape
+        i, j, k = d["i"], d["jj"], d["k"]
+        im, ip = (i - 1) % nx, (i + 1) % nx
+        jm, jp = (j - 1) % ny, (j + 1) % ny
+        u, v, w, thl = c.u, c.v, c.w, c.thl
+        G = lambda f, ii, jjj, kk: f[ii, jjj, kk]
+        mc = self.masks.c
+
+        if which == "u":
+            uu = G(u, i, j, k)
+            vv = 0.25 * (G(v, i, j, k) + G(v, i, jp, k)
+                         + G(v, im, j, k) + G(v, im, jp, k))
+            ww = 0.25 * (G(w, i, j, k) + G(w, i, j, k + 1)
+                         + G(w, im, j, k) + G(w, im, j, k + 1))
+            m0, m1 = G(mc, i, j, k), G(mc, im, j, k)
+            Ta = 0.5 * (G(thl, i, j, k) * m0 * (2.0 - m1)
+                        + G(thl, im, j, k) * m1 * (2.0 - m0))
+        elif which in ("v", "w"):
+            uu = 0.25 * (G(u, i, j, k) + G(u, ip, j, k)
+                         + G(u, i, jm, k) + G(u, ip, jm, k))
+            vv = G(v, i, j, k)
+            ww = 0.25 * (G(w, i, j, k) + G(w, i, j, k + 1)
+                         + G(w, i, jm, k) + G(w, i, jm, k + 1))
+            if which == "v":
+                m0, m1 = G(mc, i, j, k), G(mc, i, jm, k)
+                Ta = 0.5 * (G(thl, i, j, k) * m0 * (2.0 - m1)
+                            + G(thl, i, jm, k) * m1 * (2.0 - m0))
+            else:
+                # w lives on faces: k is the face index; cells k and k-1
+                kc = jnp.minimum(k, nz - 1)
+                kmc = jnp.maximum(k - 1, 0)
+                vv = G(v, i, j, kc)
+                uu = 0.25 * (G(u, i, j, kc) + G(u, ip, j, kc)
+                             + G(u, i, jm, kc) + G(u, ip, jm, kc))
+                ww = 0.25 * (G(w, i, j, k)
+                             + G(w, i, j, jnp.minimum(k + 1, nz))
+                             + G(w, i, jm, k)
+                             + G(w, i, jm, jnp.minimum(k + 1, nz)))
+                m0, m1 = G(mc, i, j, kc), G(mc, i, j, kmc)
+                Ta = 0.5 * (G(thl, i, j, kc) * m0 * (2.0 - m1)
+                            + G(thl, i, j, kmc) * m1 * (2.0 - m0))
+        else:  # c
+            uu = 0.5 * (G(u, i, j, k) + G(u, ip, j, k))
+            vv = 0.5 * (G(v, i, j, k) + G(v, i, jp, k))
+            ww = 0.5 * (G(w, i, j, k) + G(w, i, j, k + 1))
+            Ta = G(thl, i, j, k)
+        return uu, vv, ww, Ta
+
+    def _local_stress(self, which, c, grid, cfg):
+        """Per-section tangential stress pieces shared by mom/heat paths."""
+        d = self.dev[which]
+        uu, vv, ww, Ta = self._gather_uvw(which, c, grid)
+        uvec = jnp.stack([uu, vv, ww], axis=-1)             # (S,3)
+        norm = d["norm"]
+        span = jnp.cross(norm, uvec)
+        span_n = jnp.linalg.norm(span, axis=-1)
+        valid = span_n > const.eps1
+        span = span / jnp.maximum(span_n, const.eps1)[:, None]
+        strm = jnp.cross(span, norm)
+        utan = jnp.sum(uvec * strm, axis=-1)
+        return d, uvec, norm, strm, utan, Ta, valid
+
+    def _wallfunmom(self, which, c, grid: Grid, cfg: Config):
+        """wallfunmom (modibm.f90:1286-1433), lcomprec/lnorec path."""
+        d = self.dev[which]
+        nx, ny, nz = grid.shape
+        dtype = c.u.dtype
+        shape = (nx, ny, nz + 1) if which == "w" else (nx, ny, nz)
+        out = jnp.zeros(shape, dtype)
+        if d is None:
+            return out
+        d, uvec, norm, strm, utan, Ta, valid = self._local_stress(
+            which, c, grid, cfg)
+        axis = {"u": 0, "v": 1, "w": 2}[which]
+        if cfg.walls.iwallmom == 2:
+            Tsurf = self.facT[d["fac"]]
+            ctm = _mom_coef_stability(utan, d["dist"], d["z0"], d["z0h"],
+                                      Ta, Tsurf)
+        else:
+            ctm = (const.fkar / jnp.log(d["dist"] / d["z0"])) ** 2
+        stress = ctm * utan ** 2
+        a = strm[:, axis]
+        stress_dir = jnp.sign(uvec[:, axis]) * jnp.abs(a * stress)
+        # cell volume: dzf at the cell (w sections use the face's upper cell,
+        # wallfunmom:1411 with Fortran dzf(k))
+        kcell = d["k"] if which != "w" else jnp.minimum(d["k"], nz - 1)
+        dzf = jnp.asarray(grid.j("dzf"))[kcell]
+        vol = grid.dx * grid.dy * dzf
+        contrib = jnp.where(valid, -stress_dir * d["area"] / vol, 0.0)
+        out = out.at[d["i"], d["jj"], d["k"]].add(contrib.astype(dtype))
+        return out
+
+    def _wallfunheat(self, c, grid: Grid, cfg: Config):
+        """wallfunheat (modibm.f90:1436-1606): sensible + latent wall fluxes
+        at c-sections; returns (dthl, dqt, fachf, facef)."""
+        d = self.dev["c"]
+        nx, ny, nz = grid.shape
+        dtype = c.thl.dtype
+        zthl = jnp.zeros((nx, ny, nz), dtype)
+        zq = jnp.zeros((nx, ny, nz), dtype)
+        zf = jnp.zeros(self.nfcts, dtype)
+        if d is None:
+            return zthl, zq, zf, zf
+        d, uvec, norm, strm, utan, Ta, valid = self._local_stress(
+            "c", c, grid, cfg)
+        flux = jnp.zeros_like(utan)
+        htc = jnp.zeros_like(utan)
+        if cfg.physics.ltempeq:
+            if cfg.walls.iwalltemp == 1:
+                # fixed flux per orientation (modibm.f90:1519-1535;
+                # note the reference assigns bctfxm for -yhat too — kept)
+                n = d["norm"]
+                e = const.eps1
+                flux = jnp.where(jnp.abs(n[:, 0] - 1) < e, cfg.bc.bctfxp,
+                        jnp.where(jnp.abs(n[:, 0] + 1) < e, cfg.bc.bctfxm,
+                        jnp.where(jnp.abs(n[:, 1] - 1) < e, cfg.bc.bctfyp,
+                        jnp.where(jnp.abs(n[:, 1] + 1) < e, cfg.bc.bctfxm,
+                        jnp.where(jnp.abs(n[:, 2] - 1) < e, cfg.bc.bctfz,
+                                  0.0)))))
+                flux = flux.astype(dtype)
+            else:
+                Tsurf = self.facT[d["fac"]]
+                cth, flux, htc = _heat_coef_flux(utan, d["dist"], d["z0"],
+                                                 d["z0h"], Ta, Tsurf)
+        dzh = jnp.asarray(grid.j("dzh"))[d["k"]]
+        wgt = d["area"] / (grid.dx * grid.dy * dzh)
+        fl = jnp.where(valid, flux, 0.0)
+        zthl = zthl.at[d["i"], d["jj"], d["k"]].add((-fl * wgt).astype(dtype))
+        fachf = jax.ops.segment_sum(fl * d["area"], d["fac"],
+                                    num_segments=self.nfcts)
+        facef = zf  # latent path filled in with the EB/green-roof module
+        return zthl, zq, fachf, facef
+
+    # ------------------------------------------------------------------
+    # Diffusion corrections across solid faces (dense mask arithmetic)
+    # ------------------------------------------------------------------
+    def _diffu_corr(self, g, grid: Grid):
+        """diffu_corr (modibm.f90:990-1030): cancel SGS fluxes through faces
+        whose opposite u-point is solid. Dense: the correction is zero
+        wherever all neighbours are fluid, so it can be evaluated at every
+        fluid u-point."""
+        from functools import partial
+        from ..ops.stencil import sh, shw, kvec
+        nx, ny, nz = grid.shape
+        S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+        u, ekm = g.u, g.ekm
+        M = self.pmask_u
+        dzf = grid.j("dzf_g")
+        dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+        dzhiq = grid.j("dzhiq"); dzhi = grid.j("dzhi")
+        dzhiq_k = kvec(dzhiq, 0, nz); dzhiq_kp = kvec(dzhiq, 1, nz)
+        dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+        dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+
+        ekm_c = S(ekm, 0, 0, 0); ekm_im = S(ekm, -1, 0, 0)
+        empo = 0.25 * (ekm_c + S(ekm, 0, 1, 0) + ekm_im + S(ekm, -1, 1, 0))
+        emmo = 0.25 * (ekm_c + S(ekm, 0, -1, 0) + S(ekm, -1, -1, 0) + ekm_im)
+        emop = (dzf_kp * (ekm_c + ekm_im)
+                + dzf_k * (S(ekm, 0, 0, 1) + S(ekm, -1, 0, 1))) * dzhiq_kp
+        emom = (dzf_km * (ekm_c + ekm_im)
+                + dzf_k * (S(ekm, 0, 0, -1) + S(ekm, -1, 0, -1))) * dzhiq_k
+
+        solid_jp = 1.0 - S(M, 0, 1, 0)
+        solid_jm = 1.0 - S(M, 0, -1, 0)
+        solid_kp = 1.0 - S(M, 0, 0, 1)
+        solid_km = 1.0 - S(M, 0, 0, -1)
+        uc = S(u, 0, 0, 0)
+        corr = (
+            - solid_jp * empo * (S(u, 0, 1, 0) - uc) * grid.dy2i
+            + solid_jm * emmo * (uc - S(u, 0, -1, 0)) * grid.dy2i
+            - solid_kp * emop * (S(u, 0, 0, 1) - uc) * dzhi_kp * dzfi_k
+            + solid_km * emom * (uc - S(u, 0, 0, -1)) * dzhi_k * dzfi_k
+        )
+        # only at fluid u-points (solid points are zeroed by ibmnorm anyway)
+        return corr * self.masks.u
+
+    def _diffv_corr(self, g, grid: Grid):
+        from functools import partial
+        from ..ops.stencil import sh, kvec
+        nx, ny, nz = grid.shape
+        S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+        v, ekm = g.v, g.ekm
+        M = self.pmask_v
+        dzf = grid.j("dzf_g")
+        dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+        dzhiq = grid.j("dzhiq"); dzhi = grid.j("dzhi")
+        dzhiq_k = kvec(dzhiq, 0, nz); dzhiq_kp = kvec(dzhiq, 1, nz)
+        dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+        dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+
+        ekm_c = S(ekm, 0, 0, 0); ekm_jm = S(ekm, 0, -1, 0)
+        epmo = 0.25 * (ekm_c + ekm_jm + S(ekm, 1, -1, 0) + S(ekm, 1, 0, 0))
+        emmo = 0.25 * (ekm_c + ekm_jm + S(ekm, -1, -1, 0) + S(ekm, -1, 0, 0))
+        eomp = (dzf_kp * (ekm_c + ekm_jm)
+                + dzf_k * (S(ekm, 0, 0, 1) + S(ekm, 0, -1, 1))) * dzhiq_kp
+        eomm = (dzf_km * (ekm_c + ekm_jm)
+                + dzf_k * (S(ekm, 0, 0, -1) + S(ekm, 0, -1, -1))) * dzhiq_k
+
+        vc = S(v, 0, 0, 0)
+        corr = (
+            - (1.0 - S(M, 1, 0, 0)) * epmo * (S(v, 1, 0, 0) - vc) * grid.dx2i
+            + (1.0 - S(M, -1, 0, 0)) * emmo * (vc - S(v, -1, 0, 0)) * grid.dx2i
+            - (1.0 - S(M, 0, 0, 1)) * eomp * (S(v, 0, 0, 1) - vc) * dzhi_kp * dzfi_k
+            + (1.0 - S(M, 0, 0, -1)) * eomm * (vc - S(v, 0, 0, -1)) * dzhi_k * dzfi_k
+        )
+        return corr * self.masks.v
+
+    def _diffw_corr(self, g, grid: Grid):
+        from ..ops.stencil import kvec
+        nx, ny, nz = grid.shape
+        w, ekm = g.w, g.ekm
+        h = 1
+        nf = nz - 1
+        wf = lambda di, dj, dk: w[h + di: h + di + nx, h + dj: h + dj + ny,
+                                  1 + dk: 1 + dk + nf]
+        C = lambda A, di, dj, dk: A[h + di: h + di + nx, h + dj: h + dj + ny,
+                                    1 + dk: 1 + dk + nf]
+        # face-mask (no xy pad needed beyond pmask_w)
+        Mw = self.pmask_w
+        Mf = lambda di, dj: Mw[h + di: h + di + nx, h + dj: h + dj + ny,
+                               1: 1 + nf]
+        dzf = grid.j("dzf_g")
+        dzf_km = kvec(dzf, 1, nf)
+        dzf_k = kvec(dzf, 2, nf)
+        dzhiq_k = kvec(grid.j("dzhiq"), 1, nf)
+
+        epom = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 1, 0, 1))
+                + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 1, 0, 0))) * dzhiq_k
+        emom = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, -1, 0, 1))
+                + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, -1, 0, 0))) * dzhiq_k
+        eopm = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 0, 1, 1))
+                + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 0, 1, 0))) * dzhiq_k
+        eomm = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 0, -1, 1))
+                + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 0, -1, 0))) * dzhiq_k
+        wc = wf(0, 0, 0)
+        corr = (
+            - (1.0 - Mf(1, 0)) * epom * (wf(1, 0, 0) - wc) * grid.dx2i
+            + (1.0 - Mf(-1, 0)) * emom * (wc - wf(-1, 0, 0)) * grid.dx2i
+            - (1.0 - Mf(0, 1)) * eopm * (wf(0, 1, 0) - wc) * grid.dy2i
+            + (1.0 - Mf(0, -1)) * eomm * (wc - wf(0, -1, 0)) * grid.dy2i
+        )
+        zeros = jnp.zeros((nx, ny, 1), corr.dtype)
+        corr = jnp.concatenate([zeros, corr, zeros], axis=2)
+        return corr * self.masks.w
+
+    def _diffc_corr(self, gc, gekh, grid: Grid):
+        """diffc_corr (modibm.f90:1120-1164)."""
+        from functools import partial
+        from ..ops.stencil import sh, kvec
+        nx, ny, nz = grid.shape
+        S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+        M = self.pmask_c
+        dzf = grid.j("dzf_g")
+        dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+        dzh2i = grid.j("dzh2i")
+        dzh2i_k = kvec(dzh2i, 0, nz); dzh2i_kp = kvec(dzh2i, 1, nz)
+        dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+        cc = S(gc, 0, 0, 0)
+        e = S(gekh, 0, 0, 0)
+        corr = (
+            - (1.0 - S(M, 1, 0, 0)) * 0.5 * (S(gekh, 1, 0, 0) + e)
+            * (S(gc, 1, 0, 0) - cc) * grid.dx2i
+            + (1.0 - S(M, -1, 0, 0)) * 0.5 * (e + S(gekh, -1, 0, 0))
+            * (cc - S(gc, -1, 0, 0)) * grid.dx2i
+            - (1.0 - S(M, 0, 1, 0)) * 0.5 * (S(gekh, 0, 1, 0) + e)
+            * (S(gc, 0, 1, 0) - cc) * grid.dy2i
+            + (1.0 - S(M, 0, -1, 0)) * 0.5 * (e + S(gekh, 0, -1, 0))
+            * (cc - S(gc, 0, -1, 0)) * grid.dy2i
+            - (1.0 - S(M, 0, 0, 1)) * 0.5
+            * (dzf_kp * e + dzf_k * S(gekh, 0, 0, 1))
+            * (S(gc, 0, 0, 1) - cc) * dzh2i_kp * dzfi_k
+            + (1.0 - S(M, 0, 0, -1)) * 0.5
+            * (dzf_km * e + dzf_k * S(gekh, 0, 0, -1))
+            * (cc - S(gc, 0, 0, -1)) * dzh2i_k * dzfi_k
+        )
+        return corr * self.masks.c
+
+    # ------------------------------------------------------------------
+    # ibmnorm: zero solid velocities, fill solid scalar cells
+    # ------------------------------------------------------------------
+    def solid_fill(self, var, rhs, val):
+        """`solid` with a mask (modibm.f90:748-826): set solid cells to the
+        average of their fluid neighbours (both the value and the tendency),
+        or to `val` when fully enclosed."""
+        M = self.masks.c
+        Mp = self.pmask_c
+
+        def navg(f):
+            fp = jnp.pad(f, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+            fp = jnp.concatenate(
+                [fp[:, :, :1], fp, fp[:, :, -1:]], axis=2)
+            nx, ny, nz = f.shape
+            s = lambda a, di, dj, dk: a[1 + di: 1 + di + nx,
+                                        1 + dj: 1 + dj + ny,
+                                        1 + dk: 1 + dk + nz]
+            tot = (s(fp, 1, 0, 0) * s(Mp, 1, 0, 0)
+                   + s(fp, -1, 0, 0) * s(Mp, -1, 0, 0)
+                   + s(fp, 0, 1, 0) * s(Mp, 0, 1, 0)
+                   + s(fp, 0, -1, 0) * s(Mp, 0, -1, 0)
+                   + s(fp, 0, 0, 1) * s(Mp, 0, 0, 1)
+                   + s(fp, 0, 0, -1) * s(Mp, 0, 0, -1))
+            cnt = (s(Mp, 1, 0, 0) + s(Mp, -1, 0, 0) + s(Mp, 0, 1, 0)
+                   + s(Mp, 0, -1, 0) + s(Mp, 0, 0, 1) + s(Mp, 0, 0, -1))
+            return tot, cnt
+
+        tot_v, cnt = navg(var)
+        tot_r, _ = navg(rhs)
+        fill_v = jnp.where(cnt > 0, tot_v / jnp.maximum(cnt, 1.0), val)
+        fill_r = jnp.where(cnt > 0, tot_r / jnp.maximum(cnt, 1.0), 0.0)
+        var = jnp.where(M > 0.5, var, fill_v)
+        rhs = jnp.where(M > 0.5, rhs, fill_r)
+        return var, rhs
+
+    def ibmnorm(self, c, m, grid: Grid, cfg: Config,
+                du, dv, dw, dthl, dqt, dsv, rk3coef, thl0av_vmean):
+        """ibmnorm (modibm.f90:697-745): zero solid velocities + their
+        tendencies, fill solid scalar cells, apply cd2 advection corrections.
+        Returns updated tendencies and the masked m-fields."""
+        import dataclasses
+        du = du * self.masks.u
+        dv = dv * self.masks.v
+        dw = dw * self.masks.w
+        m_new = dataclasses.replace(
+            m, u=m.u * self.masks.u, v=m.v * self.masks.v,
+            w=m.w * self.masks.w)
+        if cfg.physics.ltempeq:
+            thlm, dthl = self.solid_fill(m.thl, dthl, thl0av_vmean)
+            m_new = dataclasses.replace(m_new, thl=thlm)
+            if cfg.iadv_thl == 2:  # cd2: liberal advection correction
+                dthl = dthl + self._advecc2nd_corr_liberal(c.thl, c, grid)
+        if cfg.physics.lmoist:
+            qtm, dqt = self.solid_fill(m.qt, dqt, 0.0)
+            m_new = dataclasses.replace(m_new, qt=qtm)
+            dqt = dqt + self._advecc2nd_corr_liberal(c.qt, c, grid)
+        if dsv.shape[0] > 0:
+            svm_list, dsv_list = [], []
+            for n in range(dsv.shape[0]):
+                svm_n, dsv_n = self.solid_fill(m.sv[n], dsv[n], 0.0)
+                svm_list.append(svm_n)
+                dsv_list.append(dsv_n)
+            m_new = dataclasses.replace(m_new, sv=jnp.stack(svm_list))
+            dsv = jnp.stack(dsv_list)
+        return du, dv, dw, dthl, dqt, dsv, m_new
+
+    def _advecc2nd_corr_liberal(self, var, c, grid: Grid):
+        """advecc2nd_corr_liberal (modibm.f90:936-987): replace the cd2
+        advective flux through faces with a solid neighbour by the zero-flux
+        (var_solid := var_here) variant. Dense over all cells; restricted to
+        fluid cells via mask_c (solid-cell tendencies were averaged)."""
+        nx, ny, nz = grid.shape
+        Mp = self.pmask_c
+        vp = jnp.pad(var, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        vp = jnp.concatenate([vp[:, :, :1], vp, vp[:, :, -1:]], axis=2)
+        s = lambda a, di, dj, dk: a[1 + di: 1 + di + nx,
+                                    1 + dj: 1 + dj + ny,
+                                    1 + dk: 1 + dk + nz]
+        up = jnp.pad(c.u, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        vpv = jnp.pad(c.v, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        u_ip = up[2:, 1:-1, :]       # u at face i+1
+        u_i = up[1:-1, 1:-1, :]
+        v_jp = vpv[1:-1, 2:, :]
+        v_j = vpv[1:-1, 1:-1, :]
+        w = c.w
+        from ..ops.stencil import kvec
+        dzf = grid.j("dzf_g")
+        dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+        dzhi = grid.j("dzhi")
+        dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+        dzfi5 = kvec(grid.j("dzfi5"), 0, nz)
+        vc = var
+        sol = lambda di, dj, dk: 1.0 - s(Mp, di, dj, dk)
+        corr = (
+            sol(1, 0, 0) * u_ip * ((s(vp, 1, 0, 0) + vc)
+                                   - (vc + vc)) * grid.dxi5
+            - sol(-1, 0, 0) * u_i * ((s(vp, -1, 0, 0) + vc)
+                                     - (vc + vc)) * grid.dxi5
+            + sol(0, 1, 0) * v_jp * ((s(vp, 0, 1, 0) + vc)
+                                     - (vc + vc)) * grid.dyi5
+            - sol(0, -1, 0) * v_j * ((s(vp, 0, -1, 0) + vc)
+                                     - (vc + vc)) * grid.dyi5
+            + sol(0, 0, 1) * w[:, :, 1:]
+            * ((s(vp, 0, 0, 1) * dzf_k + vc * dzf_kp)
+               - (vc * dzf_k + vc * dzf_kp)) * dzhi_kp * dzfi5
+            - sol(0, 0, -1) * w[:, :, :nz]
+            * ((s(vp, 0, 0, -1) * dzf_k + vc * dzf_km)
+               - (vc * dzf_k + vc * dzf_km)) * dzhi_k * dzfi5
+        )
+        return corr * self.masks.c
+
+
+# ---------------------------------------------------------------------------
+# Per-section transfer coefficients (vectorized duplicates of
+# modibm.f90:1855-1985; kept separate from ibm/wallfn.py because the facet
+# path uses dist-dependent Ribl0 = g d dT / (Ts utan^2))
+# ---------------------------------------------------------------------------
+
+def _fm_fh(Ribl, logdz, sqdz, fkar2):
+    b1, b2, dm, dh = 9.4, 4.7, 7.4, 5.3
+    cm = (dm * fkar2) / (logdz ** 2) * b1 * sqdz
+    ch = (dh * fkar2) / (logdz ** 2) * b1 * sqdz
+    stable = Ribl > 0
+    Fm_s = 1.0 / (1.0 + b2 * Ribl) ** 2
+    sq = jnp.sqrt(jnp.abs(Ribl))
+    Fm_u = 1.0 - (b1 * Ribl) / (1.0 + cm * sq)
+    Fh_u = 1.0 - (b1 * Ribl) / (1.0 + ch * sq)
+    return jnp.where(stable, Fm_s, Fm_u), jnp.where(stable, Fm_s, Fh_u)
+
+
+def _mom_coef_stability(utan, dist, z0, z0h, Tair, Tsurf,
+                        prandtlturb=const.prandtlmol):
+    """mom_transfer_coef_stability (modibm.f90:1855-1903)."""
+    fkar2 = const.fkar ** 2
+    dT = Tair - Tsurf
+    utan2 = jnp.maximum(utan ** 2, UMIN)
+    Ribl0 = const.grav * dist * dT / (Tsurf * utan2)
+    logdz = jnp.log(dist / z0)
+    logzh = jnp.log(z0 / z0h)
+    sqdz = jnp.sqrt(dist / z0)
+    Fm, Fh = _fm_fh(Ribl0, logdz, sqdz, fkar2)
+    M = prandtlturb * logdz * jnp.sqrt(Fm) / Fh
+    Ribl1 = Ribl0 - Ribl0 * prandtlturb * logzh / (prandtlturb * logzh + M)
+    Fm1, _ = _fm_fh(Ribl1, logdz, sqdz, fkar2)
+    return fkar2 / (logdz ** 2) * Fm1
+
+
+def _heat_coef_flux(utan, dist, z0, z0h, Tair, Tsurf,
+                    prandtlturb=const.prandtlmol):
+    """heat_transfer_coef_flux (modibm.f90:1919-1985). Returns
+    (cth, flux, htc)."""
+    fkar2 = const.fkar ** 2
+    dT = Tair - Tsurf
+    utan2 = jnp.maximum(utan ** 2, UMIN)
+    Ribl0 = const.grav * dist * dT / (Tsurf * utan2)
+    logdz = jnp.log(dist / z0)
+    logzh = jnp.log(z0 / z0h)
+    sqdz = jnp.sqrt(dist / z0)
+    Fm, Fh = _fm_fh(Ribl0, logdz, sqdz, fkar2)
+    M = prandtlturb * logdz * jnp.sqrt(Fm) / Fh
+    Ribl1 = Ribl0 - Ribl0 * prandtlturb * logzh / (prandtlturb * logzh + M)
+    Fm1, Fh1 = _fm_fh(Ribl1, logdz, sqdz, fkar2)
+    M1 = prandtlturb * logdz * jnp.sqrt(Fm1) / Fh1
+    dTrough = dT / (prandtlturb * logzh / M1 + 1.0)
+    cth = fkar2 / (logdz ** 2) * Fh1 / prandtlturb
+    flux = jnp.abs(utan) * cth * dTrough
+    denom = jnp.abs(utan) * dT
+    htc = jnp.where(jnp.abs(denom) > 0, flux / jnp.where(
+        jnp.abs(denom) > 0, denom, 1.0), 0.0)
+    return cth, flux, htc
+
+
+def _alignment(norms: np.ndarray) -> np.ndarray:
+    """Vectorized `alignment` (modibm.f90:1682-1705): +-1/2/3 for axis-aligned
+    unit normals, 0 otherwise."""
+    out = np.zeros(len(norms), np.int64)
+    for ax, code in ((0, 1), (1, 2), (2, 3)):
+        e = np.zeros(3)
+        e[ax] = 1.0
+        out[np.all(np.abs(norms - e) < const.eps1, axis=1)] = code
+        out[np.all(np.abs(norms + e) < const.eps1, axis=1)] = -code
+    return out

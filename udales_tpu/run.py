@@ -85,8 +85,10 @@ class Model:
             key = jax.random.PRNGKey(seed)
             f = randomize(f, key, cfg.run.randu,
                           min(cfg.run.krand, grid.ktot))
-        if self.ibm is not None:
-            f = self.ibm.apply_initial_masks(f)
+        # NOTE: solid cells deliberately keep the profile values — the
+        # reference initializes u0=uprof everywhere (modstartup.f90:1155) and
+        # lets ibmnorm + the projection zero the solids within the first
+        # substep; masking here would advect scalars with a divergent field.
         dt0 = dt0 if dt0 is not None else min(cfg.run.dtmax, 0.1)
         return initial_state(grid, f, dt0=dt0)
 
@@ -189,8 +191,11 @@ class Model:
 
         # --- IBM: zero solid normal velocities (ibmnorm) -------------------
         if self.ibm is not None:
-            du, dv, dw, dthl, dsv = self.ibm.ibmnorm(
-                c, m, grid, cfg, du, dv, dw, dthl, dsv, rk3coef)
+            dzf_w = grid.j("dzf")
+            thl_vmean = jnp.sum(th.thl0av * jnp.asarray(dzf_w)) / grid.zh[-1]
+            du, dv, dw, dthl, dqt, dsv, m = self.ibm.ibmnorm(
+                c, m, grid, cfg, du, dv, dw, dthl, dqt, dsv, rk3coef,
+                thl_vmean)
 
         # --- forces hard-zeroes wp at the floor (modforces.f90:125) --------
         dw = dw.at[..., 0].set(0.0)
