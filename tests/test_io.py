@@ -1,0 +1,139 @@
+"""Output subsystem tests: NetCDF writer round-trip, fielddump naming,
+statistics accumulation, checkpoint round-trip, Fortran restart ingest."""
+import struct
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_core import make_cfg, make_model, init_state
+
+
+class TestNetCDF:
+    def test_roundtrip(self, tmp_path):
+        from udales_tpu.io.netcdf import NCWriter
+        from scipy.io import netcdf_file
+        model = make_model()
+        w = NCWriter(tmp_path / "t.nc", model.grid)
+        w.define("u", ("zt", "yt", "xm"), "m/s")
+        arr = np.random.default_rng(0).standard_normal(model.grid.shape)
+        w.append(1.5, {"u": arr})
+        w.append(2.5, {"u": arr * 2})
+        w.close()
+        f = netcdf_file(str(tmp_path / "t.nc"), "r")
+        assert list(f.variables["time"][:]) == [1.5, 2.5]
+        got = f.variables["u"][0].transpose(2, 1, 0)
+        np.testing.assert_allclose(got, arr.astype(np.float32), rtol=1e-6)
+        assert f.variables["xt"].shape[0] == model.grid.itot
+
+    def test_fielddump(self, tmp_path):
+        import dataclasses
+        from udales_tpu.io.fielddump import FieldDump
+        from scipy.io import netcdf_file
+        cfg = make_cfg()
+        cfg = dataclasses.replace(cfg, output=dataclasses.replace(
+            cfg.output, lfielddump=True, tfielddump=1.0,
+            fieldvars="u0,w0,th"))
+        model = make_model(cfg)
+        state = init_state(model)
+        fd = FieldDump(cfg, model.grid, tmp_path)
+        fd.dump(state)
+        fd.close()
+        f = netcdf_file(str(tmp_path / "fielddump.000.nc"), "r")
+        assert set(f.variables) >= {"u", "w", "thl", "time", "xt", "zm"}
+        assert f.variables["u"].shape[1:] == (8, 12, 16)  # (zt, yt, xm)
+
+
+class TestStats:
+    def test_xyt_accumulation(self, tmp_path):
+        from udales_tpu.io.stats import XYTDump
+        import dataclasses
+        cfg = make_cfg()
+        cfg = dataclasses.replace(cfg, output=dataclasses.replace(
+            cfg.output, lxytdump=True, tsample=0.01, tstatsdump=0.02))
+        model = make_model(cfg)
+        state = init_state(model)
+        xy = XYTDump(cfg, model.grid, tmp_path)
+        state = state.replace(timee=state.timee + 1.0)
+        xy.maybe_sample(state)
+        xy.close()
+        from scipy.io import netcdf_file
+        f = netcdf_file(str(tmp_path / "xytdump.000.nc"), "r")
+        u = f.variables["uxyt"][0]
+        np.testing.assert_allclose(
+            u, np.asarray(state.c.u).mean(axis=(0, 1)), rtol=1e-5)
+
+
+class TestRestart:
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from udales_tpu.io.restart import save_checkpoint, load_checkpoint
+        model = make_model()
+        state = init_state(model)
+        save_checkpoint(tmp_path / "ck.h5", state)
+        s2 = load_checkpoint(tmp_path / "ck.h5", model.grid)
+        np.testing.assert_array_equal(np.asarray(s2.c.u),
+                                      np.asarray(state.c.u))
+        assert float(s2.dt) == float(state.dt)
+
+    def test_fortran_restart_synthetic(self, tmp_path):
+        """Write a synthetic reference-format initd pair and read it back."""
+        from udales_tpu.io.restart import read_fortran_restart
+        itot = jtot = 8
+        ktot = 4
+        npx = npy = 2
+        imax, jmax = itot // npx, jtot // npy
+        shape = (imax + 2, jmax + 2, ktot + 1)
+        rng = np.random.default_rng(5)
+        glob = {n: rng.standard_normal((itot, jtot, ktot + 1))
+                for n in ["u", "v", "w", "pres", "thl", "e12", "ekm",
+                          "qt", "ql", "qlh"]}
+
+        def rec(payload):
+            return (struct.pack("<i", len(payload)) + payload
+                    + struct.pack("<i", len(payload)))
+
+        for px in range(npx):
+            for py in range(npy):
+                parts = []
+                parts.append(rec(np.zeros((imax, jmax, ktot)).tobytes()))
+                parts.append(rec(np.zeros((imax, jmax, ktot, 5)).tobytes()))
+                for n in ["u", "v", "w", "pres", "thl", "e12", "ekm",
+                          "qt", "ql", "qlh"]:
+                    loc = np.zeros(shape)
+                    # fill interior from the global array (halos stay 0)
+                    loc[1:-1, 1:-1, :] = glob[n][px * imax:(px + 1) * imax,
+                                                 py * jmax:(py + 1) * jmax]
+                    parts.append(rec(loc.astype("<f8").tobytes(order="F")))
+                parts.append(rec(struct.pack("<2d", 7.25, 0.125)))
+                (tmp_path / f"initd00000001_{px:03d}_{py:03d}.042").write_bytes(
+                    b"".join(parts))
+        out, _, timee, dt = read_fortran_restart(
+            tmp_path, "initd00000001_xxx_xxx.042", "042",
+            itot, jtot, ktot, npx, npy)
+        assert timee == 7.25 and dt == 0.125
+        np.testing.assert_allclose(out["u"], glob["u"])
+        np.testing.assert_allclose(out["qlh"], glob["qlh"])
+
+
+class TestSimulation:
+    def test_cli_driver(self, tmp_path):
+        """End-to-end: Simulation drives a tiny case with outputs."""
+        import dataclasses
+        from udales_tpu.sim import Simulation
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            run=dataclasses.replace(cfg.run, ladaptive=False, dtmax=0.05,
+                                    trestart=0.2, randomize=True),
+            output=dataclasses.replace(cfg.output, lfielddump=True,
+                                       tfielddump=0.1, fieldvars="u0,w0",
+                                       lxytdump=True, tsample=0.05,
+                                       tstatsdump=0.15))
+        model = make_model(cfg)
+        sim = Simulation(model, tmp_path, monitor=False)
+        final = sim.run(runtime=0.3)
+        assert float(final.timee) >= 0.3
+        assert (tmp_path / "fielddump.000.nc").exists()
+        assert (tmp_path / "xytdump.000.nc").exists()
+        assert list(tmp_path.glob("initd*.h5"))

@@ -1,0 +1,143 @@
+"""Simulation driver: the program.f90 equivalent.
+
+Runs the jitted RK3 step in device-resident chunks between host-side output
+events (field dumps, statistics samples, restart writes, runtime monitor),
+honouring the reference's cadences (tfielddump, tsample/tstatsdump,
+trestart, tcheck) and the ``exit_now.<exp>`` graceful-stop sentinel
+(modsave.f90:63-75).
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .run import Model
+from .io.fielddump import FieldDump
+from .io.stats import XYTDump
+from .io.restart import save_checkpoint
+
+
+class Simulation:
+    def __init__(self, model: Model, outdir: str | Path = ".",
+                 monitor: bool = True):
+        self.model = model
+        self.cfg = model.cfg
+        self.outdir = Path(outdir)
+        self.outdir.mkdir(parents=True, exist_ok=True)
+        self.step = jax.jit(model.step)
+        self.outputs = []
+        if self.cfg.output.lfielddump:
+            self.fielddump = FieldDump(self.cfg, model.grid, self.outdir)
+        else:
+            self.fielddump = None
+        if self.cfg.output.lxytdump:
+            self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
+        else:
+            self.xytdump = None
+        self.monitor = monitor
+        self.tnextrestart = self.cfg.run.trestart
+        self.ntrun = 0
+
+    def _exp(self):
+        return f"{self.cfg.run.iexpnr:03d}"
+
+    def run(self, state=None, runtime: float | None = None, seed: int = 43):
+        cfg = self.cfg
+        if state is None:
+            state = self.model.cold_start(seed=seed)
+        runtime = runtime if runtime is not None else cfg.run.runtime
+        t_end = float(state.timee) + runtime
+        masks = self.model.ibm.masks if self.model.ibm else None
+        wall0 = time.time()
+        nsteps = 0
+        while float(state.timee) < t_end:
+            state = self.step(state)
+            nsteps += 1
+            self.ntrun += 1
+            t = float(state.timee)  # device sync once per step
+            if self.fielddump is not None:
+                self.fielddump.maybe_dump(state)
+            if self.xytdump is not None:
+                self.xytdump.maybe_sample(state, masks)
+            if self.monitor and nsteps % 50 == 0:
+                self._checksim(state, nsteps, wall0)
+            if t >= self.tnextrestart:
+                self.tnextrestart += cfg.run.trestart
+                self._write_restart(state)
+            if (self.outdir / f"exit_now.{self._exp()}").exists():
+                self._write_restart(state)
+                break
+        if self.fielddump:
+            self.fielddump.close()
+        if self.xytdump:
+            self.xytdump.close()
+        return state
+
+    def _write_restart(self, state):
+        name = self.outdir / f"initd{self.ntrun:08d}.{self._exp()}.h5"
+        save_checkpoint(name, state, self.ntrun)
+
+    def _checksim(self, state, nsteps, wall0):
+        """Runtime monitor (modchecksim.f90:76-205): Courant number and max
+        divergence."""
+        grid = self.model.grid
+        c = state.c
+        nz = grid.ktot
+        cour = float(jnp.max(
+            jnp.abs(c.u) * grid.dxi + jnp.abs(c.v) * grid.dyi
+            + jnp.abs(c.w[..., :nz])
+            / jnp.asarray(grid.j("dzh"))[:nz][None, None, :]) * state.dt)
+        gu = jnp.pad(c.u, ((0, 1), (0, 0), (0, 0)), mode="wrap")
+        gv = jnp.pad(c.v, ((0, 0), (0, 1), (0, 0)), mode="wrap")
+        div = ((gu[1:] - gu[:-1]) * grid.dxi
+               + (gv[:, 1:] - gv[:, :-1]) * grid.dyi
+               + (c.w[:, :, 1:] - c.w[:, :, :-1])
+               * jnp.asarray(grid.j("dzfi"))[None, None, :])
+        rate = nsteps / max(time.time() - wall0, 1e-9)
+        print(f"  t={float(state.timee):9.2f}s dt={float(state.dt):.4f} "
+              f"CFL={cour:.3f} max|div|={float(jnp.abs(div).max()):.2e} "
+              f"[{rate:.1f} steps/s]", flush=True)
+
+
+def main(argv=None):
+    """CLI: python -m udales_tpu <case_dir_or_namoptions> [outdir]"""
+    import argparse
+    from .run import load_case
+    ap = argparse.ArgumentParser(prog="udales_tpu",
+                                 description="TPU-native urban LES")
+    ap.add_argument("case", help="case directory or namoptions.<exp> path")
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--runtime", type=float, default=None)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--seed", type=int, default=43)
+    args = ap.parse_args(argv)
+
+    case = Path(args.case)
+    if case.is_file():
+        expnr = case.suffix[1:]
+        case = case.parent
+    else:
+        expnr = None
+    model = load_case(case, expnr, dtype=args.dtype)
+    outdir = args.outdir or "."
+    sim = Simulation(model, outdir)
+    print(f"udales_tpu: case {case} grid {model.grid} "
+          f"devices {jax.devices()}", flush=True)
+    state = None
+    if model.cfg.run.lwarmstart and model.cfg.run.startfile:
+        from .io.restart import warmstart_state
+        exp = f"{model.cfg.run.iexpnr:03d}"
+        sdir = case / "warmstart_files"
+        sdir = sdir if sdir.exists() else case
+        state = warmstart_state(sdir, model.cfg.run.startfile, exp,
+                                model.cfg, model.grid)
+        print(f"warmstart from {model.cfg.run.startfile} "
+              f"t={float(state.timee):.2f}", flush=True)
+    final = sim.run(state, runtime=args.runtime, seed=args.seed)
+    print(f"done: t={float(final.timee):.3f}s", flush=True)
+    return final
