@@ -73,6 +73,7 @@ class IBM:
         self.faca = faca
         self.nfcts = len(facz0)
         self.bndpts_c = bndpts_c
+        self.faclGR_dev = np.zeros(self.nfcts, bool)
         self._prep()
 
     # ------------------------------------------------------------------
@@ -148,8 +149,11 @@ class IBM:
                       v=jnp.asarray(mask_v, grid.dtype),
                       w=jnp.asarray(mask_w, grid.dtype),
                       c=jnp.asarray(mask_c, grid.dtype))
-        return cls(cfg, grid, masks, sec_u, sec_v, sec_w, sec_c,
-                   facnorm, facz0, facz0h, facT, faca, bndpts_c)
+        obj = cls(cfg, grid, masks, sec_u, sec_v, sec_w, sec_c,
+                  facnorm, facz0, facz0h, facT, faca, bndpts_c)
+        obj.faclGR_dev = np.array(
+            [abs(typemap[int(t)][1] - 1.0) < 1e-5 for t in walltype])
+        return obj
 
     def _prep(self):
         """Device-resident gathered per-section constants."""
@@ -200,19 +204,23 @@ class IBM:
     # Wall functions (ibmwallfun)
     # ------------------------------------------------------------------
     def wallfun(self, g, c, grid: Grid, cfg: Config,
-                du, dv, dw, dthl, dqt, dsv):
+                du, dv, dw, dthl, dqt, dsv, fac=None):
         """Facet-section wall stresses + heat fluxes + diffusion corrections
-        (modibm.f90:1167-1283)."""
+        (modibm.f90:1167-1283). Returns tendencies + per-facet sensible and
+        latent flux sums (fachf/facef, consumed by the EB)."""
+        facT = fac.T[:, 0] if fac is not None else self.facT
+        nf0 = jnp.zeros(self.nfcts, c.u.dtype)
+        fachf, facef = nf0, nf0
         if cfg.walls.iwallmom > 1:
-            du = du + self._wallfunmom("u", c, grid, cfg)
-            dv = dv + self._wallfunmom("v", c, grid, cfg)
-            dw = dw + self._wallfunmom("w", c, grid, cfg)
+            du = du + self._wallfunmom("u", c, grid, cfg, facT)
+            dv = dv + self._wallfunmom("v", c, grid, cfg, facT)
+            dw = dw + self._wallfunmom("w", c, grid, cfg, facT)
         du = du + self._diffu_corr(g, grid)
         dv = dv + self._diffv_corr(g, grid)
         dw = dw + self._diffw_corr(g, grid)
         if cfg.physics.ltempeq or cfg.physics.lmoist:
-            hthl, hqt, self.fachf, self.facef = self._wallfunheat(
-                c, grid, cfg)
+            hthl, hqt, fachf, facef = self._wallfunheat(
+                c, grid, cfg, facT, fac)
             dthl = dthl + hthl
             dqt = dqt + hqt
             if cfg.physics.ltempeq:
@@ -223,7 +231,7 @@ class IBM:
             gsv1 = jax.vmap(lambda s: s[1:-1, 1:-1, 1:-1])(g.sv)
             dsv = dsv + jax.vmap(
                 lambda gc: self._diffc_corr(gc, g.ekh, grid))(gsv1)
-        return du, dv, dw, dthl, dqt, dsv
+        return du, dv, dw, dthl, dqt, dsv, fachf, facef
 
     def _gather_uvw(self, which, c, grid):
         """Interpolated velocity vector + air temperature at the active
@@ -292,7 +300,7 @@ class IBM:
         utan = jnp.sum(uvec * strm, axis=-1)
         return d, uvec, norm, strm, utan, Ta, valid
 
-    def _wallfunmom(self, which, c, grid: Grid, cfg: Config):
+    def _wallfunmom(self, which, c, grid: Grid, cfg: Config, facT):
         """wallfunmom (modibm.f90:1286-1433), lcomprec/lnorec path."""
         d = self.dev[which]
         nx, ny, nz = grid.shape
@@ -305,7 +313,7 @@ class IBM:
             which, c, grid, cfg)
         axis = {"u": 0, "v": 1, "w": 2}[which]
         if cfg.walls.iwallmom == 2:
-            Tsurf = self.facT[d["fac"]]
+            Tsurf = facT[d["fac"]]
             ctm = _mom_coef_stability(utan, d["dist"], d["z0"], d["z0h"],
                                       Ta, Tsurf)
         else:
@@ -322,7 +330,7 @@ class IBM:
         out = out.at[d["i"], d["jj"], d["k"]].add(contrib.astype(dtype))
         return out
 
-    def _wallfunheat(self, c, grid: Grid, cfg: Config):
+    def _wallfunheat(self, c, grid: Grid, cfg: Config, facT, fac=None):
         """wallfunheat (modibm.f90:1436-1606): sensible + latent wall fluxes
         at c-sections; returns (dthl, dqt, fachf, facef)."""
         d = self.dev["c"]
@@ -337,6 +345,10 @@ class IBM:
             "c", c, grid, cfg)
         flux = jnp.zeros_like(utan)
         htc = jnp.zeros_like(utan)
+        fachf = zf
+        facef = zf
+        dzh = jnp.asarray(grid.j("dzh"))[d["k"]]
+        wgt = d["area"] / (grid.dx * grid.dy * dzh)
         if cfg.physics.ltempeq:
             if cfg.walls.iwalltemp == 1:
                 # fixed flux per orientation (modibm.f90:1519-1535;
@@ -351,16 +363,34 @@ class IBM:
                                   0.0)))))
                 flux = flux.astype(dtype)
             else:
-                Tsurf = self.facT[d["fac"]]
+                Tsurf = facT[d["fac"]]
                 cth, flux, htc = _heat_coef_flux(utan, d["dist"], d["z0"],
                                                  d["z0h"], Ta, Tsurf)
-        dzh = jnp.asarray(grid.j("dzh"))[d["k"]]
-        wgt = d["area"] / (grid.dx * grid.dy * dzh)
-        fl = jnp.where(valid, flux, 0.0)
-        zthl = zthl.at[d["i"], d["jj"], d["k"]].add((-fl * wgt).astype(dtype))
-        fachf = jax.ops.segment_sum(fl * d["area"], d["fac"],
-                                    num_segments=self.nfcts)
-        facef = zf  # latent path filled in with the EB/green-roof module
+            fl = jnp.where(valid, flux, 0.0)
+            zthl = zthl.at[d["i"], d["jj"], d["k"]].add(
+                (-fl * wgt).astype(dtype))
+            fachf = jax.ops.segment_sum(fl * d["area"], d["fac"],
+                                        num_segments=self.nfcts)
+
+        # latent heat on green-roof facets (modibm.f90:1555-1589)
+        if cfg.physics.lmoist and fac is not None and cfg.walls.iwallmoist == 2:
+            lGR = jnp.asarray(self.faclGR_dev)[d["fac"]]
+            qtair = c.qt[d["i"], d["jj"], d["k"]]
+            qwall = fac.qsat[d["fac"]]
+            hurel = fac.hurel[d["fac"]]
+            resa = 1.0 / jnp.maximum(htc * jnp.abs(utan), 1e-10)
+            resc = fac.f[d["fac"], 3]
+            ress = fac.f[d["fac"], 4]
+            cveg = 0.8
+            mflux = jnp.minimum(
+                0.0, cveg * (qtair - qwall) / (resa + resc)
+                + (1.0 - cveg) * (qtair - qwall * hurel) / (resa + ress))
+            mfl = jnp.where(valid & lGR & (htc * jnp.abs(utan) > 0),
+                            mflux, 0.0)
+            zq = zq.at[d["i"], d["jj"], d["k"]].add(
+                (-mfl * wgt).astype(dtype))
+            facef = jax.ops.segment_sum(mfl * d["area"], d["fac"],
+                                        num_segments=self.nfcts)
         return zthl, zq, fachf, facef
 
     # ------------------------------------------------------------------

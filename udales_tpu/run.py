@@ -46,6 +46,7 @@ class Model:
         self.grid = grid
         self.ibm = ibm
         self.mesh = mesh   # jax.sharding.Mesh for multi-chip runs
+        self.eb = None     # FacetEB for energy-balance runs
         self.pois = PoissonSolver(grid, cfg, mesh=mesh)
         nz = grid.ktot
         fdt = grid.dtype
@@ -90,7 +91,8 @@ class Model:
         # lets ibmnorm + the projection zero the solids within the first
         # substep; masking here would advect scalars with a divergent field.
         dt0 = dt0 if dt0 is not None else min(cfg.run.dtmax, 0.1)
-        return initial_state(grid, f, dt0=dt0)
+        fac = self.eb.initial_state() if self.eb is not None else None
+        return initial_state(grid, f, dt0=dt0, fac=fac)
 
     # -- one RK3 substep ---------------------------------------------------
     def substep(self, state: State, rk3step: int) -> State:
@@ -175,9 +177,16 @@ class Model:
             dthl, dqt = dthl + gthl_, dqt + gqt_
 
         # --- IBM wall functions + masks ------------------------------------
+        fac = state.fac
         if self.ibm is not None:
-            du, dv, dw, dthl, dqt, dsv = self.ibm.wallfun(
-                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv)
+            du, dv, dw, dthl, dqt, dsv, fachf, facef = self.ibm.wallfun(
+                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac)
+            # intqH (modEB.f90:220-247): accumulate facet fluxes in time on
+            # the last substep
+            if fac is not None and rk3step == 3:
+                fac = dataclasses.replace(
+                    fac, hfi=fac.hfi + dt * fachf,
+                    efi=fac.efi + dt * facef)
 
         # --- mass-flow-rate correction (modforces.masscorr) ----------------
         if cfg.physics.luvolflowr:
@@ -221,7 +230,7 @@ class Model:
                 m_new, e12=jnp.maximum(const.e12min, m.e12))
         if rk3step == 3:
             m_new = c_new
-        return state.replace(c=c_new, m=m_new, pres=pres)
+        return state.replace(c=c_new, m=m_new, pres=pres, fac=fac)
 
     def _project(self, du, dv, dw, m: Fields, rk3coef):
         """fillps + poisson + tderive (modpois.f90:911-998, 419-712,
@@ -291,6 +300,10 @@ class Model:
         state = state.replace(dt=dt, timee=state.timee + dt)
         for rk3step in (1, 2, 3):
             state = self.substep(state, rk3step)
+        # facet energy balance fires every dtEB (quantized), modEB.f90:429
+        if self.eb is not None and state.fac is not None:
+            state = state.replace(
+                fac=self.eb.maybe_update(state.fac, state.timee))
         return state
 
     def run(self, state: State, nsteps: int) -> State:
@@ -340,4 +353,9 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
     if with_ibm and cfg.walls.nfcts > 0:
         from .ibm.ibm import IBM
         ibm = IBM.load(case_dir, expnr, cfg, grid)
-    return Model(cfg, grid, inputs, ibm)
+    model = Model(cfg, grid, inputs, ibm)
+    if cfg.eb.lEB and ibm is not None:
+        from .ibm.eb import FacetEB
+        model.eb = FacetEB.load(case_dir, expnr, cfg, ibm,
+                                dtype=grid.dtype)
+    return model

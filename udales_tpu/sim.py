@@ -39,6 +39,24 @@ class Simulation:
             self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
         else:
             self.xytdump = None
+        self.facwriter = None
+        if self.cfg.eb.lEB and self.cfg.eb.lwriteEBfiles and model.eb:
+            from .io.netcdf import NCWriter
+            exp = f"{self.cfg.run.iexpnr:03d}"
+            w = NCWriter(self.outdir / f"facT.{exp}.nc",
+                         nfcts=model.eb.nfcts,
+                         nlayers=self.cfg.eb.nfaclyrs + 1)
+            w.define("T", ("facet", "layer"), "K", "Temperature")
+            w2 = NCWriter(self.outdir / f"facEB.{exp}.nc",
+                          nfcts=model.eb.nfcts)
+            w2.define("netsw", ("facet",), "W/m^2", "Net shortwave")
+            w2.define("LWin", ("facet",), "W/m^2", "Incoming longwave")
+            w2.define("LWout", ("facet",), "W/m^2", "Outgoing longwave")
+            w2.define("hf", ("facet",), "W/m^2", "Sensible heat")
+            w2.define("ef", ("facet",), "W/m^2", "Latent heat")
+            w2.define("WGR", ("facet",), "?", "Water content")
+            self.facwriter = (w, w2)
+            self._last_facwrite = 0.0
         self.monitor = monitor
         self.tnextrestart = self.cfg.run.trestart
         self.ntrun = 0
@@ -66,6 +84,10 @@ class Simulation:
                 self.xytdump.maybe_sample(state, masks)
             if self.monitor and nsteps % 50 == 0:
                 self._checksim(state, nsteps, wall0)
+            if (self.facwriter is not None and state.fac is not None
+                    and t >= self._last_facwrite + self.cfg.eb.dtEB):
+                self._last_facwrite = t
+                self._write_fac(state, t)
             if t >= self.tnextrestart:
                 self.tnextrestart += cfg.run.trestart
                 self._write_restart(state)
@@ -77,6 +99,25 @@ class Simulation:
         if self.xytdump:
             self.xytdump.close()
         return state
+
+    def _write_fac(self, state, t):
+        """facT/facEB outputs (modEB.f90:510-532)."""
+        import numpy as np
+        from udales_tpu.config import const
+        eb = self.model.eb
+        fac = state.fac
+        wT, wEB = self.facwriter
+        T = np.asarray(fac.T)
+        wT.append(t, {"T": T})
+        em = np.asarray(eb.facem)
+        wEB.append(t, {
+            "netsw": np.asarray(eb.netsw),
+            "LWin": np.asarray(eb.calclw(fac.T)),
+            "LWout": const.boltz * em * T[:, 0] ** 4,
+            "hf": np.asarray(fac.hfi),
+            "ef": np.asarray(fac.efi),
+            "WGR": np.asarray(fac.wsoil),
+        })
 
     def _write_restart(self, state):
         name = self.outdir / f"initd{self.ntrun:08d}.{self._exp()}.h5"

@@ -51,6 +51,7 @@ class State:
     pres: Any        # accumulated modified pressure (reference pres0)
     dt: Any          # adaptive timestep (traced scalar)
     timee: Any       # elapsed simulation time (traced scalar)
+    fac: Any = None  # FacetState for energy-balance runs (ibm/eb.py)
 
     def replace(self, **kw):
         return replace(self, **kw)
@@ -108,7 +109,7 @@ def randomize(fields: Fields, key, amplitude: float, krand: int) -> Fields:
 
 
 def initial_state(grid: Grid, fields: Fields, dt0: float = 1.0,
-                  dtype=None) -> State:
+                  dtype=None, fac=None) -> State:
     dtype = dtype or grid.dtype
     nx, ny, nz = grid.shape
     return State(
@@ -116,4 +117,5 @@ def initial_state(grid: Grid, fields: Fields, dt0: float = 1.0,
         pres=jnp.zeros((nx, ny, nz), dtype),
         dt=jnp.asarray(dt0, dtype),
         timee=jnp.asarray(0.0, dtype),
+        fac=fac,
     )
