@@ -5,59 +5,117 @@ Replaces the in-place BC application of the reference (modboundary.f90:115-389
 functions that attach ghost planes to interior arrays.  Periodic wraps double
 as the halo exchange (see ops/halo.py).
 
-Only periodic lateral BCs are implemented so far (BCxm=BCym=1, the default and
-the configuration of reference examples 001/002/101/102); profile/driver
-inlets extend the `lateral_*` hooks.
+Lateral x BCs: periodic (default) or open (profile/driver inlet + convective
+outlet, modboundary.f90:688-996).  For open-x, ghost planes come from an
+`openx` context dict {"inlet": {...interior-k planes...}, "bx": XPlanes}
+built per-substep (see ops/openbc.py); y stays periodic (as in the
+reference's supported configurations).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import (BCTOPM_FREESLIP, BCTOPM_NOSLIP, BCTOPM_PRESSURE,
-                      BCTOP_FLUX, BCTOP_VALUE, BC_PERIODIC, Config, const)
+                      BCTOP_FLUX, BCTOP_VALUE, BC_DRIVER, BC_PERIODIC,
+                      BC_PROFILE, Config, const)
 from ..grid import Grid
 from ..state import Fields
 from .halo import pad_axis, pad_periodic_xy, take_k
 
 
-def _pad_xy(f, h, cfg: Config):
-    if cfg.bc.BCxm == BC_PERIODIC and cfg.bc.BCym == BC_PERIODIC:
-        return pad_periodic_xy(f, h)
-    raise NotImplementedError("non-periodic lateral BCs: driver/profile inlets")
+def _open_x(cfg: Config) -> bool:
+    return cfg.bc.BCxm != BC_PERIODIC
 
 
-def ghost_u(u, cfg: Config, h: int = 1):
-    """u ghosts: bottom ghost 0 (reference leaves um(kb-1)=0 from initfields,
-    giving the molecular no-slip stress with the mirrored ekm of closurebc);
-    top per BCtopm: freeslip/pressure -> zero-gradient, noslip -> 2*Uinf-u."""
+def _assemble(gk, h, lo_plane, hi_plane):
+    """Pad y periodically, then attach explicit x ghost planes (already
+    k-ghosted, shape (ny, nzg))."""
+    gy = jnp.pad(gk, ((0, 0), (h, h), (0, 0)), mode="wrap")
+    lo = jnp.pad(lo_plane, ((h, h), (0, 0)), mode="wrap")
+    hi = jnp.pad(hi_plane, ((h, h), (0, 0)), mode="wrap")
+    return jnp.concatenate([*([lo[None]] * h), gy, *([hi[None]] * h)],
+                           axis=0)
+
+
+def _pad_field(gk, h, cfg, lo_plane=None, hi_plane=None):
+    if not _open_x(cfg):
+        return pad_periodic_xy(gk, h)
+    return _assemble(gk, h, lo_plane, hi_plane)
+
+
+# --- per-field k-ghost rules (shared by interior arrays and x planes) ------
+
+def _kg_u(u, cfg):
     if cfg.bc.BCtopm == BCTOPM_NOSLIP:
         top = 2.0 * cfg.bc.Uinf - take_k(u, -1)
     else:
         top = take_k(u, -1)
-    g = pad_axis(u, 2, jnp.zeros_like(take_k(u, 0)), top)
-    return _pad_xy(g, h, cfg)
+    return pad_axis(u, u.ndim - 1, jnp.zeros_like(take_k(u, 0)), top)
 
 
-def ghost_v(v, cfg: Config, h: int = 1):
+def _kg_v(v, cfg):
     if cfg.bc.BCtopm == BCTOPM_NOSLIP:
         top = 2.0 * cfg.bc.Vinf - take_k(v, -1)
     else:
         top = take_k(v, -1)
-    g = pad_axis(v, 2, jnp.zeros_like(take_k(v, 0)), top)
-    return _pad_xy(g, h, cfg)
+    return pad_axis(v, v.ndim - 1, jnp.zeros_like(take_k(v, 0)), top)
 
 
-def ghost_w(w, cfg: Config, h: int = 1):
-    """w is a face array (nx,ny,nz+1); bottom/top faces are enforced
-    impermeable here (modboundary.f90:165-166, 177)."""
+def _kg_scalar(f, top):
+    return pad_axis(f, f.ndim - 1, take_k(f, 0), top)
+
+
+# --- ghost builders --------------------------------------------------------
+
+def ghost_u(u, cfg: Config, h: int = 1, openx=None):
+    """u ghosts: bottom ghost 0 (reference leaves um(kb-1)=0 from initfields,
+    giving the molecular no-slip stress with the mirrored ekm of closurebc);
+    top per BCtopm; x per BCxm (profile inlet ghost 2u(ib)-u(ib+1),
+    modboundary.f90:699; driver ghost = driver plane :732; outlet face from
+    the prognostic XPlanes)."""
+    gk = _kg_u(u, cfg)
+    if openx is None:
+        return _pad_field(gk, h, cfg)
+    if cfg.bc.BCxm == BC_PROFILE:
+        lo = 2.0 * gk[0] - gk[1]
+    else:  # driver: ghost = inlet plane (== u[0], which is hard-set)
+        lo = gk[0]
+    hi = _kg_u(openx["bx"].u, cfg)
+    return _assemble(gk, h, lo, hi)
+
+
+def ghost_v(v, cfg: Config, h: int = 1, openx=None):
+    gk = _kg_v(v, cfg)
+    if openx is None:
+        return _pad_field(gk, h, cfg)
+    if cfg.bc.BCxm == BC_PROFILE:
+        vprof_k = _kg_v(jnp.broadcast_to(
+            openx["inlet"]["v"], v.shape[1:]), cfg)
+        lo = 2.0 * vprof_k - gk[0]
+    else:
+        lo = _kg_v(openx["inlet"]["v"], cfg)
+    hi = _kg_v(openx["bx"].v, cfg)
+    return _assemble(gk, h, lo, hi)
+
+
+def ghost_w(w, cfg: Config, h: int = 1, openx=None):
+    """w is a face array (nx,ny,nz+1); bottom/top faces enforced impermeable
+    (modboundary.f90:165-166, 177) except the pressure top BC where the top
+    face is prognostic."""
     w = w.at[..., 0].set(0.0)
     if cfg.bc.BCtopm != BCTOPM_PRESSURE:
         w = w.at[..., -1].set(0.0)
-    return _pad_xy(w, h, cfg)
+    if openx is None:
+        return _pad_field(w, h, cfg)
+    if cfg.bc.BCxm == BC_PROFILE:
+        lo = -w[0]           # modboundary.f90:703
+    else:
+        lo = openx["inlet"]["w"]
+    return _assemble(w, h, lo, openx["bx"].w)
 
 
 def _scalar_top_ghost(f, ekh, grid: Grid, flux: float, value: float, mode: int):
@@ -68,52 +126,83 @@ def _scalar_top_ghost(f, ekh, grid: Grid, flux: float, value: float, mode: int):
         return take_k(f, -1)
     dzh_top = grid.dzh[-1]
     dzf_ke = grid.dzf[-1]
-    # ekh(ke+1)=ekh(ke), dzf(ke+1)=dzf(ke) after closurebc
     denom = dzf_ke * ekh[..., -1:]
     return take_k(f, -1) + flux * (dzh_top ** 2) / denom
 
 
-def ghost_thl(thl, ekh, cfg: Config, grid: Grid, h: int = 1):
+def ghost_thl(thl, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
     top = _scalar_top_ghost(thl, ekh, grid, cfg.bc.wttop, cfg.bc.thl_top,
                             cfg.bc.BCtopT)
-    g = pad_axis(thl, 2, take_k(thl, 0), top)
-    return _pad_xy(g, h, cfg)
+    gk = _kg_scalar(thl, top)
+    if openx is None:
+        return _pad_field(gk, h, cfg)
+    # profile inlet: ghost = thlprof (modboundary.f90:778-783); driver: plane
+    inl = openx["inlet"]["thl"]
+    lo = _kg_scalar(inl, inl[..., -1:])
+    hi = _kg_scalar(openx["bx"].thl, openx["bx"].thl[..., -1:])
+    return _assemble(gk, h, lo, hi)
 
 
-def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1):
+def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
     top = _scalar_top_ghost(qt, ekh, grid, cfg.bc.wqtop, cfg.bc.qt_top,
                             cfg.bc.BCtopq)
-    g = pad_axis(qt, 2, take_k(qt, 0), top)
-    return _pad_xy(g, h, cfg)
+    gk = _kg_scalar(qt, top)
+    if openx is None:
+        return _pad_field(gk, h, cfg)
+    if cfg.bc.BCxq == BC_PROFILE:
+        prof_k = _kg_scalar(jnp.broadcast_to(openx["inlet"]["qt"],
+                                             qt.shape[1:]),
+                            openx["inlet"]["qt"][..., -1:])
+        lo = 2.0 * prof_k - gk[0]
+    else:
+        inl = openx["inlet"]["qt"]
+        lo = _kg_scalar(inl, inl[..., -1:])
+    hi = _kg_scalar(openx["bx"].qt, openx["bx"].qt[..., -1:])
+    return _assemble(gk, h, lo, hi)
 
 
-def ghost_e12(e12, cfg: Config, h: int = 1):
-    """e12 bottom ghost = e12(kb) (modibm.f90:2010); top = e12min for
-    freeslip/pressure tops (modboundary.f90:180-181)."""
+def ghost_e12(e12, cfg: Config, h: int = 1, openx=None):
     if cfg.bc.BCtopm in (BCTOPM_FREESLIP, BCTOPM_PRESSURE):
         top = jnp.full_like(take_k(e12, -1), const.e12min)
     else:
         top = take_k(e12, -1)
-    g = pad_axis(e12, 2, take_k(e12, 0), top)
-    return _pad_xy(g, h, cfg)
+    gk = _kg_scalar(e12, top)
+    if openx is None:
+        return _pad_field(gk, h, cfg)
+    lo = gk[0]       # driver: extrapolate from interior (modboundary:757)
+    hi = _kg_scalar(openx["bx"].e12, openx["bx"].e12[..., -1:])
+    return _assemble(gk, h, lo, hi)
 
 
-def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2):
-    """Scalar ghosts for the kappa scheme: halo 2 in x/y and 2 ghost cells in k
-    (reference ihc=jhc=khc=2, modglobal.f90:602-608; top ghosts replicate,
-    modboundary.f90:211-213, 1530-1535)."""
+def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2, openx=None,
+                       sv_index: int = 0):
+    """Scalar ghosts for the kappa scheme: halo 2 in x/y and 2 ghost cells
+    in k (reference ihc=jhc=khc=2)."""
     bot = take_k(c, 0)
     top = take_k(c, -1)
     g = c
     for _ in range(hk):
         g = pad_axis(g, 2, bot, top)
-    return _pad_xy(g, h, cfg)
+    if openx is None:
+        return _pad_field(g, h, cfg)
+    inl = openx["inlet"]["sv"][sv_index]
+
+    def kg2(p):
+        """(ny, nz) plane -> (ny, nz+2*hk) with replicated k ghosts."""
+        q = p
+        for _ in range(hk):
+            q = pad_axis(q, q.ndim - 1, q[..., :1], q[..., -1:])
+        return q
+    if cfg.bc.BCxs == BC_PROFILE:
+        lo = 2.0 * kg2(inl) - kg2(c[0])
+    else:
+        lo = kg2(inl)
+    hi = kg2(openx["bx"].sv[sv_index])
+    return _assemble(g, h, lo, hi)
 
 
-def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1):
-    """closurebc (modboundary.f90:434-505): mirror-to-molecular at the bottom
-    wall, zero-gradient (freeslip/pressure) or mirror (noslip) at the top;
-    periodic laterally."""
+def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
+    """closurebc (modboundary.f90:434-505)."""
     numol = const.numol
     numolh = const.numol * const.prandtlmoli
     bot_m = 2.0 * numol - take_k(ekm, 0)
@@ -124,8 +213,15 @@ def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1):
     else:
         top_m = take_k(ekm, -1)
         top_h = take_k(ekh, -1)
-    gm = _pad_xy(pad_axis(ekm, 2, bot_m, top_m), h, cfg)
-    gh = _pad_xy(pad_axis(ekh, 2, bot_h, top_h), h, cfg)
+    gkm = pad_axis(ekm, 2, bot_m, top_m)
+    gkh = pad_axis(ekh, 2, bot_h, top_h)
+    if openx is None:
+        gm = _pad_field(gkm, h, cfg)
+        gh = _pad_field(gkh, h, cfg)
+    else:
+        # zero-gradient at inflow/outflow (modboundary.f90:467-475)
+        gm = _assemble(gkm, h, gkm[0], gkm[-1])
+        gh = _assemble(gkh, h, gkh[0], gkh[-1])
     return gm, gh
 
 
@@ -145,17 +241,22 @@ class Ghosts:
 
 
 def make_ghosts(f: Fields, ekm, ekh, cfg: Config, grid: Grid,
-                h: int = 1) -> Ghosts:
-    gm, gh = ghost_ek(ekm, ekh, cfg, grid, h)
-    gsv = (jax.vmap(lambda c: ghost_scalar_kappa(c, cfg))(f.sv)
-           if f.sv.shape[0] > 0 else f.sv)
+                h: int = 1, openx=None) -> Ghosts:
+    gm, gh = ghost_ek(ekm, ekh, cfg, grid, h, openx)
+    nsv = f.sv.shape[0]
+    if nsv > 0:
+        gsv = jnp.stack([ghost_scalar_kappa(f.sv[n], cfg, openx=openx,
+                                            sv_index=n)
+                         for n in range(nsv)])
+    else:
+        gsv = f.sv
     return Ghosts(
-        u=ghost_u(f.u, cfg, h),
-        v=ghost_v(f.v, cfg, h),
-        w=ghost_w(f.w, cfg, h),
-        thl=ghost_thl(f.thl, ekh, cfg, grid, h),
-        qt=ghost_qt(f.qt, ekh, cfg, grid, h),
-        e12=ghost_e12(f.e12, cfg, h),
+        u=ghost_u(f.u, cfg, h, openx),
+        v=ghost_v(f.v, cfg, h, openx),
+        w=ghost_w(f.w, cfg, h, openx),
+        thl=ghost_thl(f.thl, ekh, cfg, grid, h, openx),
+        qt=ghost_qt(f.qt, ekh, cfg, grid, h, openx),
+        e12=ghost_e12(f.e12, cfg, h, openx),
         sv=gsv,
         ekm=gm,
         ekh=gh,

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (IADV_CD2, IADV_KAPPA, IADV_UPW, SGS_ONEEQN, Config, const)
+from .config import (BCTOPM_PRESSURE, BC_DRIVER, BC_PERIODIC, BC_PROFILE,
+                     IADV_CD2, IADV_KAPPA, IADV_UPW, SGS_ONEEQN, Config, const)
 from .grid import Grid
 from .state import Fields, State, initial_state, profile_fields, randomize
 from .io.inputs import CaseInputs, large_scale_pressure_gradient
@@ -47,6 +48,7 @@ class Model:
         self.ibm = ibm
         self.mesh = mesh   # jax.sharding.Mesh for multi-chip runs
         self.eb = None     # FacetEB for energy-balance runs
+        self.inlet = None  # ops.openbc.Inlet for open-x runs
         self.pois = PoissonSolver(grid, cfg, mesh=mesh)
         nz = grid.ktot
         fdt = grid.dtype
@@ -91,6 +93,9 @@ class Model:
         # lets ibmnorm + the projection zero the solids within the first
         # substep; masking here would advect scalars with a divergent field.
         dt0 = dt0 if dt0 is not None else min(cfg.run.dtmax, 0.1)
+        if self.inlet is not None:
+            from .ops.openbc import init_xplanes
+            f = dataclasses.replace(f, bx=init_xplanes(f, grid))
         fac = self.eb.initial_state() if self.eb is not None else None
         return initial_state(grid, f, dt0=dt0, fac=fac)
 
@@ -110,16 +115,25 @@ class Model:
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(c, cfg, grid, masks)
 
+        # --- open-x inlet/outlet context (modboundary.f90:688-996) ---------
+        openx = None
+        uouttot = None
+        if self.inlet is not None:
+            from .ops.openbc import uouttot_value
+            inlet_planes = self.inlet.planes(state.timee, ny, nz)
+            openx = {"inlet": inlet_planes, "bx": c.bx}
+            uouttot = uouttot_value(cfg, th.u0av, grid)
+
         # --- SGS closure (modsubgrid.closure) ------------------------------
-        gvel = _velocity_ghosts(c, cfg, grid)
+        gvel = _velocity_ghosts(c, cfg, grid, openx)
         thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
         ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
                                     dthvdz=th.dthvdz, thl=c.thl, thvs=thvs)
 
-        g = make_ghosts(c, ekm, ekh, cfg, grid)
+        g = make_ghosts(c, ekm, ekh, cfg, grid, openx=openx)
 
         # --- advection (+ pressure-gradient term, modadvection) ------------
-        gp = pad_periodic_xy(state.pres, 1)
+        gp = _pad_pres(state.pres, openx)
         du = adv.adv_u(g, grid) - (gp[1:-1, 1:-1, :] - gp[:-2, 1:-1, :]) * grid.dxi
         dv = adv.adv_v(g, grid) - (gp[1:-1, 1:-1, :] - gp[1:-1, :-2, :]) * grid.dyi
         dw = adv.adv_w(g, grid)
@@ -130,7 +144,7 @@ class Model:
 
         dthl = adv.adv_c2(g.thl, g, grid) if ltemp else jnp.zeros_like(c.thl)
         if ltemp and self.cfg.iadv_thl == IADV_KAPPA:
-            gthl_k = _kappa_ghost_scalar(c.thl, cfg)
+            gthl_k = _kappa_ghost_scalar(c.thl, cfg, openx)
             dthl = adv.adv_kappa(gthl_k, g, grid)
         dqt = adv.adv_c2(g.qt, g, grid) if lmoist else jnp.zeros_like(c.qt)
         de12 = (adv.adv_c2(g.e12, g, grid)
@@ -188,12 +202,13 @@ class Model:
                     fac, hfi=fac.hfi + dt * fachf,
                     efi=fac.efi + dt * facef)
 
-        # --- mass-flow-rate correction (modforces.masscorr) ----------------
-        if cfg.physics.luvolflowr:
+        # --- mass-flow-rate correction (modforces.masscorr; skipped for
+        # inflow/outflow runs, :352/:394) -----------------------------------
+        if cfg.physics.luvolflowr and openx is None:
             IIu = self.ibm.masks.u if self.ibm is not None else \
                 jnp.ones((nx, ny, nz), du.dtype)
             du = masscorr_uvol(du, m.u, grid, cfg, rk3coef, IIu)
-        if cfg.physics.lvvolflowr:
+        if cfg.physics.lvvolflowr and openx is None:
             IIv = self.ibm.masks.v if self.ibm is not None else \
                 jnp.ones((nx, ny, nz), dv.dtype)
             dv = masscorr_vvol(dv, m.v, grid, cfg, rk3coef, IIv)
@@ -210,7 +225,9 @@ class Model:
         dw = dw.at[..., 0].set(0.0)
 
         # --- pressure projection (modpois.poisson) -------------------------
-        du, dv, dw, p = self._project(du, dv, dw, m, rk3coef)
+        du, dv, dw, p, du_out = self._project(
+            du, dv, dw, m, rk3coef, c=c, openx=openx, uouttot=uouttot,
+            pres=state.pres, masks=masks)
         pres = state.pres + p
 
         # --- integrate (modtstep.tstep_integrate) --------------------------
@@ -223,8 +240,28 @@ class Model:
             qt=m.qt + rk3coef * dqt if lmoist else m.qt,
             e12=jnp.maximum(const.e12min, e12_new),
             sv=m.sv + rk3coef * dsv if nsv > 0 else m.sv,
+            bx=c.bx,
         )
         m_new = m
+        if openx is not None:
+            # enforce the inlet plane (xmi_*, modboundary.f90:697/730) and
+            # advance the prognostic outlet planes (xmo_* convective)
+            from .ops.openbc import convect_planes
+            c_new = dataclasses.replace(
+                c_new, u=c_new.u.at[0].set(inlet_planes["u"]))
+            if ltemp and cfg.bc.BCxT == BC_PROFILE:
+                # xTi_profile also pins the first internal cell
+                # (modboundary.f90:786-791)
+                c_new = dataclasses.replace(
+                    c_new, thl=c_new.thl.at[0].set(inlet_planes["thl"]))
+            u_out_new = m.bx.u + rk3coef * du_out
+            bxc = dataclasses.replace(c.bx, u=u_out_new)
+            bxc = convect_planes(bxc, c_new, grid, rk3coef, uouttot,
+                                 inlet_planes)
+            c_new = dataclasses.replace(c_new, bx=bxc)
+            bxm = convect_planes(m.bx, m, grid, rk3coef, uouttot,
+                                 inlet_planes)
+            m_new = dataclasses.replace(m_new, bx=bxm)
         if cfg.subgrid.model == SGS_ONEEQN:
             m_new = dataclasses.replace(
                 m_new, e12=jnp.maximum(const.e12min, m.e12))
@@ -232,33 +269,75 @@ class Model:
             m_new = c_new
         return state.replace(c=c_new, m=m_new, pres=pres, fac=fac)
 
-    def _project(self, du, dv, dw, m: Fields, rk3coef):
-        """fillps + poisson + tderive (modpois.f90:911-998, 419-712,
-        1001-1105)."""
+    def _project(self, du, dv, dw, m: Fields, rk3coef, c=None, openx=None,
+                 uouttot=None, pres=None, masks=None):
+        """fillps + bcpup + poisson + tderive (modpois.f90:911-998, 419-712,
+        1001-1105; modboundary.f90:1191-1341). Returns the projected
+        tendencies, the pressure correction, and the outlet-face u tendency
+        (None for periodic x)."""
         grid, cfg = self.grid, self.cfg
         nx, ny, nz = grid.shape
         rk3coefi = 1.0 / rk3coef
+        lptop = cfg.bc.BCtopm == BCTOPM_PRESSURE
         pup = du + m.u * rk3coefi
         pvp = dv + m.v * rk3coefi
         pwp = dw + m.w * rk3coefi
-        # bcpup: impermeable bottom/top for the projected velocity
-        pwp = pwp.at[..., 0].set(0.0).at[..., nz].set(0.0)
-        # divergence of the provisional velocity (fillps:965-973)
-        gpu = pad_periodic_xy(pup, 1)
-        gpv = pad_periodic_xy(pvp, 1)
+        # bcpup: impermeable bottom (and top unless the pressure BC)
+        pwp = pwp.at[..., 0].set(0.0)
+        if lptop:
+            # pwp(ke+1) = wm/rk3coef + 2 <pres0>_ke dzhi(ke+1)
+            # (modboundary.f90:1241); the wp contribution is folded into dw
+            from .ops.thermo import avexy_masked
+            IIc = masks.c if masks is not None else jnp.ones_like(pres)
+            pres0ij = avexy_masked(pres, IIc)
+            pres0ij = jnp.where(pres0ij < -900.0, 0.0, pres0ij)
+            dzhi_top = grid.dzh[-1] ** -1
+            wtop_t = 2.0 * pres0ij[nz - 1] * dzhi_top
+            dw = dw.at[..., nz].set(wtop_t)
+            pwp = pwp.at[..., nz].set(m.w[..., nz] * rk3coefi + wtop_t)
+        else:
+            pwp = pwp.at[..., nz].set(0.0)
         dzfi = grid.j("dzfi")
-        rhs = ((gpu[2:, 1:-1, :] - gpu[1:-1, 1:-1, :]) * grid.dxi
-               + (gpv[1:-1, 2:, :] - gpv[1:-1, 1:-1, :]) * grid.dyi
-               + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
+        du_out = None
+        if openx is None:
+            gpu = pad_periodic_xy(pup, 1)
+            gpv = pad_periodic_xy(pvp, 1)
+            rhs = ((gpu[2:, 1:-1, :] - gpu[1:-1, 1:-1, :]) * grid.dxi
+                   + (gpv[1:-1, 2:, :] - gpv[1:-1, 1:-1, :]) * grid.dyi
+                   + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
+        else:
+            # bcpup open-x (modboundary.f90:1247-1305): inlet face fixed to
+            # the inlet plane; outlet face convective
+            inlet_u = openx["inlet"]["u"]
+            du = du.at[0].set(0.0)
+            pup = pup.at[0].set(inlet_u * rk3coefi)
+            u_out = openx["bx"].u          # current outlet u (u0(ie+1))
+            u_out_m = m.bx.u
+            pup_out = (u_out_m * rk3coefi
+                       - (u_out - c.u[-1]) * grid.dxi * uouttot)
+            du_out = pup_out - u_out_m * rk3coefi
+            pup_faces = jnp.concatenate([pup, pup_out[None]], axis=0)
+            gpv2 = jnp.pad(pvp, ((0, 0), (0, 1), (0, 0)), mode="wrap")
+            rhs = ((pup_faces[1:] - pup_faces[:-1]) * grid.dxi
+                   + (gpv2[:, 1:, :] - gpv2[:, :-1, :]) * grid.dyi
+                   + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
         p = self.pois.solve(rhs)
-        # tderive: subtract grad p from the tendencies
-        gp = pad_periodic_xy(p, 1)
+        # tderive: subtract grad p from the tendencies (Neumann ghosts at
+        # open boundaries leave the inlet face untouched, modpois:1046-1056)
+        gp = _pad_pres(p, openx)
         du = du - (gp[1:-1, 1:-1, :] - gp[:-2, 1:-1, :]) * grid.dxi
         dv = dv - (gp[1:-1, 1:-1, :] - gp[1:-1, :-2, :]) * grid.dyi
         dzhi = grid.j("dzhi")
         dw = dw.at[..., 1:nz].add(
             -(p[:, :, 1:] - p[:, :, :-1]) * dzhi[1:nz][None, None, :])
-        return du, dv, dw, p
+        if lptop:
+            # wp(ke+1) += 2 <p>_ke dzhi(ke+1) (modpois.f90:1058-1069)
+            from .ops.thermo import avexy_masked
+            IIc = masks.c if masks is not None else jnp.ones_like(p)
+            pij = avexy_masked(p, IIc)
+            pij = jnp.where(pij < -900.0, 0.0, pij)
+            dw = dw.at[..., nz].add(2.0 * pij[nz - 1] / grid.dzh[-1])
+        return du, dv, dw, p, du_out
 
     # -- dt control (modtstep.tstep_update:49-154) --------------------------
     def new_dt(self, state: State, ekm=None, ekh=None):
@@ -290,7 +369,12 @@ class Model:
     def step(self, state: State) -> State:
         """One full RK3 timestep (3 substeps) + dt/time bookkeeping."""
         # dt from the previous step's fields (tstep_update at rk3step==1)
-        gvel = _velocity_ghosts(state.m, self.cfg, self.grid)
+        openx0 = None
+        if self.inlet is not None:
+            ny, nz = self.grid.jtot, self.grid.ktot
+            openx0 = {"inlet": self.inlet.planes(state.timee, ny, nz),
+                      "bx": state.m.bx}
+        gvel = _velocity_ghosts(state.m, self.cfg, self.grid, openx0)
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(state.m, self.cfg, self.grid, masks)
         thvs = self.cfg.bc.thls if self.cfg.bc.thls > 0 else 288.0
@@ -317,17 +401,36 @@ class Model:
         return jax.jit(self.step)
 
 
-def _velocity_ghosts(f: Fields, cfg: Config, grid: Grid) -> Ghosts:
+def _velocity_ghosts(f: Fields, cfg: Config, grid: Grid,
+                     openx=None) -> Ghosts:
     """Minimal ghost set (u, v, w only) for closure/dt before ekm exists."""
     from .ops.boundary import ghost_u, ghost_v
     return Ghosts(
-        u=ghost_u(f.u, cfg), v=ghost_v(f.v, cfg), w=ghost_w(f.w, cfg),
+        u=ghost_u(f.u, cfg, openx=openx), v=ghost_v(f.v, cfg, openx=openx),
+        w=ghost_w(f.w, cfg, openx=openx),
         thl=None, qt=None, e12=None, sv=None, ekm=None, ekh=None)
 
 
-def _kappa_ghost_scalar(cfield, cfg):
+def _kappa_ghost_scalar(cfield, cfg, openx=None):
     from .ops.boundary import ghost_scalar_kappa
+    if openx is not None:
+        # thl uses the thl inlet plane through the sv slot of the context
+        openx = {**openx,
+                 "inlet": {**openx["inlet"],
+                           "sv": openx["inlet"]["thl"][None]},
+                 "bx": dataclasses.replace(openx["bx"],
+                                           sv=openx["bx"].thl[None])}
+        return ghost_scalar_kappa(cfield, cfg, openx=openx, sv_index=0)
     return ghost_scalar_kappa(cfield, cfg)
+
+
+def _pad_pres(p, openx):
+    """Pressure ghosts (bcp, modboundary.f90:1344-1430): periodic wrap or
+    zero-gradient at open-x boundaries; y periodic."""
+    if openx is None:
+        return pad_periodic_xy(p, 1)
+    px = jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    return jnp.pad(px, ((0, 0), (1, 1), (0, 0)), mode="wrap")
 
 
 # ---------------------------------------------------------------------------
@@ -358,4 +461,19 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         from .ibm.eb import FacetEB
         model.eb = FacetEB.load(case_dir, expnr, cfg, ibm,
                                 dtype=grid.dtype)
+    if cfg.bc.BCxm == BC_PROFILE:
+        from .ops.openbc import Inlet
+        p = inputs.prof
+        j = lambda a: jnp.asarray(a, grid.dtype)
+        sv = (jnp.asarray(inputs.scalar, grid.dtype)
+              if inputs.scalar is not None
+              else jnp.zeros((cfg.scalars.nsv, dom.ktot), grid.dtype))
+        model.inlet = Inlet(mode=BC_PROFILE, uprof=j(p["u"]), vprof=j(p["v"]),
+                            thlprof=j(p["thl"]), qtprof=j(p["qt"]),
+                            e12prof=j(np.maximum(p["e12"], const.e12min)),
+                            svprof=sv)
+    elif cfg.bc.BCxm == BC_DRIVER:
+        from .ops.openbc import load_driver_inlet
+        dpath = case_dir / f"driverdata.{cfg.driver.driverjobnr:03d}.h5"
+        model.inlet = load_driver_inlet(dpath, grid.dtype)
     return model

@@ -22,6 +22,53 @@ from .io.stats import XYTDump
 from .io.restart import save_checkpoint
 
 
+class DriverRecorder:
+    """Precursor-plane recorder (idriver=1, moddriver.f90 drivergen:174 /
+    writedriverfile:515): every dtdriver after tdriverstart, store the y-z
+    planes of u (at face iplane), v, w, thl, qt, sv; saved as
+    driverdata.<exp>.h5 for replay via ops.openbc.load_driver_inlet."""
+
+    def __init__(self, cfg, grid, outdir):
+        self.cfg = cfg
+        self.grid = grid
+        self.outdir = Path(outdir)
+        self.tnext = cfg.driver.tdriverstart
+        self.frames = []
+        self.times = []
+
+    def maybe_record(self, state):
+        t = float(state.timee)
+        if t < self.tnext:
+            return
+        self.tnext += self.cfg.driver.dtdriver
+        c = state.c
+        nx = self.grid.itot
+        ip = self.cfg.driver.iplane % nx    # face index (wraps at itot)
+        ic = min(ip, nx - 1)
+        self.times.append(t)
+        self.frames.append(dict(
+            u=np.asarray(c.u[ip % nx]), v=np.asarray(c.v[ic]),
+            w=np.asarray(c.w[ic]), thl=np.asarray(c.thl[ic]),
+            qt=np.asarray(c.qt[ic]),
+            sv=np.asarray(c.sv[:, ic]) if c.sv.shape[0] else None))
+
+    def save(self):
+        if not self.frames:
+            return None
+        import h5py
+        exp = f"{self.cfg.run.iexpnr:03d}"
+        path = self.outdir / f"driverdata.{exp}.h5"
+        with h5py.File(path, "w") as f:
+            f.create_dataset("t", data=np.asarray(self.times))
+            for k in ("u", "v", "w", "thl", "qt"):
+                f.create_dataset(k, data=np.stack(
+                    [fr[k] for fr in self.frames]))
+            if self.frames[0]["sv"] is not None:
+                f.create_dataset("sv", data=np.stack(
+                    [fr["sv"] for fr in self.frames]))
+        return path
+
+
 class Simulation:
     def __init__(self, model: Model, outdir: str | Path = ".",
                  monitor: bool = True):
@@ -60,6 +107,8 @@ class Simulation:
         self.monitor = monitor
         self.tnextrestart = self.cfg.run.trestart
         self.ntrun = 0
+        self.driver_rec = (DriverRecorder(self.cfg, model.grid, self.outdir)
+                           if self.cfg.driver.idriver == 1 else None)
 
     def _exp(self):
         return f"{self.cfg.run.iexpnr:03d}"
@@ -82,6 +131,8 @@ class Simulation:
                 self.fielddump.maybe_dump(state)
             if self.xytdump is not None:
                 self.xytdump.maybe_sample(state, masks)
+            if self.driver_rec is not None:
+                self.driver_rec.maybe_record(state)
             if self.monitor and nsteps % 50 == 0:
                 self._checksim(state, nsteps, wall0)
             if (self.facwriter is not None and state.fac is not None
@@ -98,6 +149,8 @@ class Simulation:
             self.fielddump.close()
         if self.xytdump:
             self.xytdump.close()
+        if self.driver_rec is not None:
+            self.driver_rec.save()
         return state
 
     def _write_fac(self, state, t):
