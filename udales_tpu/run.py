@@ -49,6 +49,10 @@ class Model:
         self.mesh = mesh   # jax.sharding.Mesh for multi-chip runs
         self.eb = None     # FacetEB for energy-balance runs
         self.inlet = None  # ops.openbc.Inlet for open-x runs
+        self.vegetation = None   # physics.Vegetation
+        self.heatpumps = None    # physics.HeatPumps
+        self.scalsources = None  # physics.ScalarSources
+        self.purifiers = None    # physics.Purifiers
         self.pois = PoissonSolver(grid, cfg, mesh=mesh)
         nz = grid.ktot
         fdt = grid.dtype
@@ -221,6 +225,19 @@ class Model:
                 c, m, grid, cfg, du, dv, dw, dthl, dqt, dsv, rk3coef,
                 thl_vmean)
 
+        # --- vegetation canopy forcing (vegetation.f90:351) ----------------
+        if self.vegetation is not None and self.vegetation.has_canopy:
+            du, dv, dw, dthl, dqt, dsv = self.vegetation.forcing(
+                m, grid, cfg, du, dv, dw, dthl, dqt, dsv)
+
+        # --- heat pumps (heatpump.f90:60) ----------------------------------
+        if self.heatpumps is not None and ltemp:
+            m, c, dw, dthl = self.heatpumps.apply(m, c, dw, dthl)
+
+        # --- scalar sources (modscalsource.f90:385) ------------------------
+        if self.scalsources is not None and nsv > 0:
+            dsv = dsv + self.scalsources.field
+
         # --- forces hard-zeroes wp at the floor (modforces.f90:125) --------
         dw = dw.at[..., 0].set(0.0)
 
@@ -229,6 +246,11 @@ class Model:
             du, dv, dw, m, rk3coef, c=c, openx=openx, uouttot=uouttot,
             pres=state.pres, masks=masks)
         pres = state.pres + p
+
+        # --- purifiers (modpurifiers.f90, between poisson and integrate) ---
+        if self.purifiers is not None:
+            m, c, du, dv, dw, dsv = self.purifiers.apply(
+                m, c, du, dv, dw, dsv)
 
         # --- integrate (modtstep.tstep_integrate) --------------------------
         e12_new = m.e12 + rk3coef * de12
@@ -265,6 +287,13 @@ class Model:
         if cfg.subgrid.model == SGS_ONEEQN:
             m_new = dataclasses.replace(
                 m_new, e12=jnp.maximum(const.e12min, m.e12))
+        # chemistry once per full step on the updated scalars
+        # (modtstep.f90:236-238, modchem.f90)
+        if (cfg.chem.lchem and rk3step == 3 and nsv >= 3):
+            IIc = self.ibm.masks.c if self.ibm is not None else \
+                jnp.ones((nx, ny, nz), c_new.sv.dtype)
+            c_new = dataclasses.replace(
+                c_new, sv=_chem(c_new.sv, dt, cfg, IIc))
         if rk3step == 3:
             m_new = c_new
         return state.replace(c=c_new, m=m_new, pres=pres, fac=fac)
@@ -401,6 +430,11 @@ class Model:
         return jax.jit(self.step)
 
 
+def _chem(sv, dt, cfg, IIc):
+    from .physics import chem_update
+    return chem_update(sv, dt, cfg, IIc)
+
+
 def _velocity_ghosts(f: Fields, cfg: Config, grid: Grid,
                      openx=None) -> Ghosts:
     """Minimal ghost set (u, v, w only) for closure/dt before ekm exists."""
@@ -461,6 +495,17 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         from .ibm.eb import FacetEB
         model.eb = FacetEB.load(case_dir, expnr, cfg, ibm,
                                 dtype=grid.dtype)
+    # long-tail physics subsystems
+    from .physics import HeatPumps, Purifiers, ScalarSources, Vegetation
+    if cfg.scalars.nsv > 0 and (cfg.scalars.lscasrc or cfg.scalars.lscasrcl):
+        model.scalsources = ScalarSources.load(case_dir, expnr, cfg, grid)
+    if cfg.trees.ltrees and (case_dir / f"veg.inp.{expnr}").exists():
+        model.vegetation = Vegetation.load(case_dir, expnr, cfg, grid)
+    if cfg.purifs.lpurif and (case_dir / f"purifs.inp.{expnr}").exists():
+        model.purifiers = Purifiers.load(case_dir, expnr, cfg, grid)
+    if (cfg.heatpump.lheatpump
+            and (case_dir / f"heatpump.inp.{expnr}").exists()):
+        model.heatpumps = HeatPumps.load(case_dir, expnr, cfg, grid)
     if cfg.bc.BCxm == BC_PROFILE:
         from .ops.openbc import Inlet
         p = inputs.prof
