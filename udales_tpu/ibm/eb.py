@@ -196,7 +196,7 @@ class FacetEB:
             tEB_last=jnp.asarray(0.0, self.dtype))
 
     # -- physics -----------------------------------------------------------
-    def calclw(self, T):
+    def calclw(self, T, skyLW=None):
         """Longwave in-flux per facet (modEB.f90:335-363)."""
         emitted = self.facem * const.boltz * T[:, 0] ** 4
         if self.vf is not None:
@@ -206,10 +206,13 @@ class FacetEB:
             contrib = jnp.asarray(v, T.dtype) * emitted[jnp.asarray(j)]
             lw = jax.ops.segment_sum(contrib, jnp.asarray(i),
                                      num_segments=self.nfcts)
-        return (lw + self.svf * self.cfg.eb.skyLW) * self.facem
+        skyLW = self.cfg.eb.skyLW if skyLW is None else skyLW
+        return (lw + self.svf * skyLW) * self.facem
 
-    def update(self, fstate: FacetState, timee) -> FacetState:
-        """One EB solve (modEB.f90:429-541)."""
+    def update(self, fstate: FacetState, timee, skyLW=None,
+               netsw=None) -> FacetState:
+        """One EB solve (modEB.f90:429-541). skyLW/netsw may be
+        time-interpolated overrides (modtimedep timedeplw/timedepsw)."""
         cfg = self.cfg
         tEB = timee - fstate.tEB_last
         tEB = jnp.maximum(tEB, 1e-6)
@@ -232,8 +235,9 @@ class FacetEB:
                      0.0, 1.0),
             fstate.hurel)
         T1 = fstate.T[:, 0]
-        f1 = 1.0 / jnp.minimum(1.0, (0.004 * self.netsw + 0.05)
-                               / (0.81 * (0.004 * self.netsw + 1.0)))
+        nsw = self.netsw if netsw is None else netsw
+        f1 = 1.0 / jnp.minimum(1.0, (0.004 * nsw + 0.05)
+                               / (0.81 * (0.004 * nsw + 1.0)))
         f2 = 1.0 / jnp.clip((wsoil - cfg.eb.wwilt)
                             / (cfg.eb.wfc - cfg.eb.wwilt), 0.001, 1.0)
         f4 = 1.0 / jnp.maximum(1.0 - 0.0016 * (298.0 - T1) ** 2, 0.001)
@@ -244,7 +248,8 @@ class FacetEB:
         f = jnp.where(self.faclGR[:, None],
                       jnp.stack([f1, f2, f4, rplant, rsoil], axis=1), f)
 
-        LWin = self.calclw(fstate.T)
+        netsw_now = self.netsw if netsw is None else netsw
+        LWin = self.calclw(fstate.T, skyLW)
 
         # batched conduction solve (modEB.f90:458-508)
         lam1 = jnp.maximum(self.faclam[:, 0], 1e-30)
@@ -252,7 +257,7 @@ class FacetEB:
         n = self.L + 1
         BM = self.BM0.at[:, 0, 0].set(ab)
         bb = jnp.zeros((self.nfcts, n), fstate.T.dtype)
-        bb = bb.at[:, 0].set(-(self.netsw + LWin + hfi + efi) / lam1)
+        bb = bb.at[:, 0].set(-(netsw_now + LWin + hfi + efi) / lam1)
         inAM = self.inAM
         w = jnp.einsum("fij,jk,fk->fi", self.EM, inAM, bb) * tEB
         HM0 = jnp.einsum("ij,fjk->fik", inAM, BM)
@@ -273,10 +278,11 @@ class FacetEB:
             tnextEB=jnp.round(timee + cfg.eb.dtEB).astype(fstate.tnextEB.dtype),
             tEB_last=timee.astype(fstate.tEB_last.dtype))
 
-    def maybe_update(self, fstate: FacetState, timee) -> FacetState:
+    def maybe_update(self, fstate: FacetState, timee, skyLW=None,
+                     netsw=None) -> FacetState:
         """lax.cond-gated EB fire (modEB.f90:429)."""
         return jax.lax.cond(
             timee >= fstate.tnextEB,
-            lambda fs: self.update(fs, timee),
+            lambda fs: self.update(fs, timee, skyLW, netsw),
             lambda fs: fs,
             fstate)

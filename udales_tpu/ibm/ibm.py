@@ -204,7 +204,7 @@ class IBM:
     # Wall functions (ibmwallfun)
     # ------------------------------------------------------------------
     def wallfun(self, g, c, grid: Grid, cfg: Config,
-                du, dv, dw, dthl, dqt, dsv, fac=None):
+                du, dv, dw, dthl, dqt, dsv, fac=None, bctf=None):
         """Facet-section wall stresses + heat fluxes + diffusion corrections
         (modibm.f90:1167-1283). Returns tendencies + per-facet sensible and
         latent flux sums (fachf/facef, consumed by the EB)."""
@@ -220,7 +220,7 @@ class IBM:
         dw = dw + self._diffw_corr(g, grid)
         if cfg.physics.ltempeq or cfg.physics.lmoist:
             hthl, hqt, fachf, facef = self._wallfunheat(
-                c, grid, cfg, facT, fac)
+                c, grid, cfg, facT, fac, bctf)
             dthl = dthl + hthl
             dqt = dqt + hqt
             if cfg.physics.ltempeq:
@@ -330,7 +330,8 @@ class IBM:
         out = out.at[d["i"], d["jj"], d["k"]].add(contrib.astype(dtype))
         return out
 
-    def _wallfunheat(self, c, grid: Grid, cfg: Config, facT, fac=None):
+    def _wallfunheat(self, c, grid: Grid, cfg: Config, facT, fac=None,
+                     bctf=None):
         """wallfunheat (modibm.f90:1436-1606): sensible + latent wall fluxes
         at c-sections; returns (dthl, dqt, fachf, facef)."""
         d = self.dev["c"]
@@ -355,11 +356,17 @@ class IBM:
                 # note the reference assigns bctfxm for -yhat too — kept)
                 n = d["norm"]
                 e = const.eps1
-                flux = jnp.where(jnp.abs(n[:, 0] - 1) < e, cfg.bc.bctfxp,
-                        jnp.where(jnp.abs(n[:, 0] + 1) < e, cfg.bc.bctfxm,
-                        jnp.where(jnp.abs(n[:, 1] - 1) < e, cfg.bc.bctfyp,
-                        jnp.where(jnp.abs(n[:, 1] + 1) < e, cfg.bc.bctfxm,
-                        jnp.where(jnp.abs(n[:, 2] - 1) < e, cfg.bc.bctfz,
+                if bctf is None:
+                    bxm, bxp, bym, byp, bz = (cfg.bc.bctfxm, cfg.bc.bctfxp,
+                                              cfg.bc.bctfym, cfg.bc.bctfyp,
+                                              cfg.bc.bctfz)
+                else:  # time-interpolated (modtimedep.timedepsurf)
+                    bxm, bxp, bym, byp, bz = bctf
+                flux = jnp.where(jnp.abs(n[:, 0] - 1) < e, bxp,
+                        jnp.where(jnp.abs(n[:, 0] + 1) < e, bxm,
+                        jnp.where(jnp.abs(n[:, 1] - 1) < e, byp,
+                        jnp.where(jnp.abs(n[:, 1] + 1) < e, bxm,
+                        jnp.where(jnp.abs(n[:, 2] - 1) < e, bz,
                                   0.0)))))
                 flux = flux.astype(dtype)
             else:

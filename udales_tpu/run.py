@@ -53,6 +53,7 @@ class Model:
         self.heatpumps = None    # physics.HeatPumps
         self.scalsources = None  # physics.ScalarSources
         self.purifiers = None    # physics.Purifiers
+        self.timedep = None      # timedep.Timedep
         self.pois = PoissonSolver(grid, cfg, mesh=mesh)
         nz = grid.ktot
         fdt = grid.dtype
@@ -194,11 +195,32 @@ class Model:
             du, dv, dw = du + gu_, dv + gv_, dw + gw_
             dthl, dqt = dthl + gthl_, dqt + gqt_
 
+        # --- nudging to (possibly time-dependent) profiles -----------------
+        if cfg.physics.lnudge and cfg.physics.nnudge > 0:
+            from .ops.forces import nudge_top
+            nprofs = None
+            if self.timedep is not None:
+                nprofs = self.timedep.nudge_profiles(state.timee)
+            if nprofs is None and self.inputs is not None:
+                p = self.inputs.prof
+                nprofs = dict(u=jnp.asarray(p["u"], du.dtype),
+                              v=jnp.asarray(p["v"], du.dtype),
+                              thl=jnp.asarray(p["thl"], du.dtype),
+                              qt=jnp.asarray(p["qt"], du.dtype))
+            if nprofs is not None:
+                nu, nv, nthl, nqt = nudge_top(c, grid, cfg, nprofs["u"],
+                                              nprofs["v"], nprofs["thl"],
+                                              nprofs["qt"])
+                du, dv = du + nu, dv + nv
+                dthl, dqt = dthl + nthl, dqt + nqt
+
         # --- IBM wall functions + masks ------------------------------------
         fac = state.fac
+        bctf = (self.timedep.surf_fluxes(state.timee)
+                if self.timedep is not None else None)
         if self.ibm is not None:
             du, dv, dw, dthl, dqt, dsv, fachf, facef = self.ibm.wallfun(
-                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac)
+                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac, bctf)
             # intqH (modEB.f90:220-247): accumulate facet fluxes in time on
             # the last substep
             if fac is not None and rk3step == 3:
@@ -415,8 +437,13 @@ class Model:
             state = self.substep(state, rk3step)
         # facet energy balance fires every dtEB (quantized), modEB.f90:429
         if self.eb is not None and state.fac is not None:
+            skyLW = netsw = None
+            if self.timedep is not None:
+                skyLW = self.timedep.sky_lw(state.timee)
+                netsw = self.timedep.net_sw(state.timee)
             state = state.replace(
-                fac=self.eb.maybe_update(state.fac, state.timee))
+                fac=self.eb.maybe_update(state.fac, state.timee,
+                                         skyLW=skyLW, netsw=netsw))
         return state
 
     def run(self, state: State, nsteps: int) -> State:
@@ -495,6 +522,10 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         from .ibm.eb import FacetEB
         model.eb = FacetEB.load(case_dir, expnr, cfg, ibm,
                                 dtype=grid.dtype)
+    # time-dependent forcings
+    from .timedep import Timedep
+    model.timedep = Timedep.load(case_dir, expnr, cfg, dom.ktot,
+                                 dtype=grid.dtype)
     # long-tail physics subsystems
     from .physics import HeatPumps, Purifiers, ScalarSources, Vegetation
     if cfg.scalars.nsv > 0 and (cfg.scalars.lscasrc or cfg.scalars.lscasrcl):
