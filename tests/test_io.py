@@ -137,3 +137,29 @@ class TestSimulation:
         assert (tmp_path / "fielddump.000.nc").exists()
         assert (tmp_path / "xytdump.000.nc").exists()
         assert list(tmp_path.glob("initd*.h5"))
+
+    def test_tdump_slices_ytdump(self, tmp_path):
+        import dataclasses
+        from udales_tpu.sim import Simulation
+        from scipy.io import netcdf_file
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            run=dataclasses.replace(cfg.run, ladaptive=False, dtmax=0.05,
+                                    randomize=True),
+            output=dataclasses.replace(cfg.output, ltdump=True,
+                                       lytdump=True, lkslicedump=True,
+                                       lislicedump=True, kslice=2, islice=3,
+                                       tsample=0.05, tstatsdump=0.15))
+        model = make_model(cfg)
+        sim = Simulation(model, tmp_path, monitor=False)
+        sim.run(runtime=0.3)
+        td = netcdf_file(str(tmp_path / "tdump.000.nc"), "r", mmap=False)
+        assert td.variables["ut"].shape[1:] == (8, 12, 16)
+        assert np.isfinite(td.variables["upwpt"][:]).all()
+        yt = netcdf_file(str(tmp_path / "ytdump.000.nc"), "r", mmap=False)
+        assert yt.variables["uyt"].shape[1:] == (8, 16)
+        ks = netcdf_file(str(tmp_path / "kslicedump.000.nc"), "r",
+                         mmap=False)
+        assert ks.variables["uk"].shape[1:] == (12, 16)
+        assert ks.variables["time"].shape[0] >= 4

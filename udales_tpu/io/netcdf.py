@@ -64,8 +64,11 @@ class NCWriter:
             a = np.asarray(arr, np.float32)
             if a.ndim == 3:
                 a = a.transpose(2, 1, 0)
-            elif a.ndim == 2 and v.dimensions[1][0] in "zxy":
-                a = a.T
+            elif a.ndim == 2:
+                expected = tuple(self.f.dimensions[d]
+                                 for d in v.dimensions[1:])
+                if a.shape != expected and a.T.shape == expected:
+                    a = a.T
             v[i] = a
         self.nrec += 1
         self.f.sync()

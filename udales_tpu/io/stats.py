@@ -79,6 +79,223 @@ def sample(acc: XYTAccum, state, masks=None) -> XYTAccum:
         uw=acc.uw + clean(uw_av), wthl=acc.wthl + clean(wthl_av))
 
 
+class TDump:
+    """3-D time-averaged fields + second moments (modstatsdump ltdump):
+    writes `tdump.<exp>.nc` every tstatsdump with time means of u,v,w,thl,
+    qt, scalars and the resolved flux/variance products."""
+
+    def __init__(self, cfg, grid, outdir: str | Path = ".", nsv: int = 0):
+        self.cfg = cfg
+        self.grid = grid
+        self.nsv = nsv
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"tdump.{exp}.nc", grid)
+        for name, dims in (("ut", ("zt", "yt", "xm")),
+                           ("vt", ("zt", "ym", "xt")),
+                           ("wt", ("zm", "yt", "xt")),
+                           ("thlt", ("zt", "yt", "xt")),
+                           ("qtt", ("zt", "yt", "xt")),
+                           ("upwpt", ("zm", "yt", "xt")),
+                           ("wpthlpt", ("zm", "yt", "xt")),
+                           ("upupt", ("zt", "yt", "xm")),
+                           ("wpwpt", ("zm", "yt", "xt"))):
+            self.writer.define(name, dims)
+        for n in range(nsv):
+            self.writer.define(f"sca{n+1}t", ("zt", "yt", "xt"))
+        self._zero()
+        self.tnext_sample = cfg.output.tsample
+        self.tnext_write = cfg.output.tstatsdump
+        self._acc_jit = jax.jit(self._acc)
+
+    def _zero(self):
+        nx, ny, nz = self.grid.shape
+        dt = self.grid.dtype
+        z = lambda *s: jnp.zeros(s, dt)
+        self.acc = dict(n=jnp.zeros((), dt),
+                        u=z(nx, ny, nz), v=z(nx, ny, nz),
+                        w=z(nx, ny, nz + 1), thl=z(nx, ny, nz),
+                        qt=z(nx, ny, nz), uu=z(nx, ny, nz),
+                        ww=z(nx, ny, nz + 1), uw=z(nx, ny, nz + 1),
+                        wthl=z(nx, ny, nz + 1),
+                        sv=z(self.nsv, nx, ny, nz))
+
+    @staticmethod
+    def _acc(acc, state):
+        c = state.c
+        u_at_w = jnp.concatenate(
+            [c.u[..., :1], 0.5 * (c.u[..., 1:] + c.u[..., :-1]),
+             c.u[..., -1:]], axis=2)
+        thl_at_w = jnp.concatenate(
+            [c.thl[..., :1], 0.5 * (c.thl[..., 1:] + c.thl[..., :-1]),
+             c.thl[..., -1:]], axis=2)
+        return dict(
+            n=acc["n"] + 1, u=acc["u"] + c.u, v=acc["v"] + c.v,
+            w=acc["w"] + c.w, thl=acc["thl"] + c.thl, qt=acc["qt"] + c.qt,
+            uu=acc["uu"] + c.u ** 2, ww=acc["ww"] + c.w ** 2,
+            uw=acc["uw"] + u_at_w * c.w,
+            wthl=acc["wthl"] + thl_at_w * c.w,
+            sv=acc["sv"] + c.sv)
+
+    def maybe_sample(self, state):
+        t = float(state.timee)
+        if t < self.tnext_sample:
+            return
+        self.tnext_sample += self.cfg.output.tsample
+        self.acc = self._acc_jit(self.acc, state)
+        if t >= self.tnext_write:
+            self.tnext_write += self.cfg.output.tstatsdump
+            self.write(t)
+
+    def write(self, t):
+        a = {k: np.asarray(v) for k, v in jax.device_get(self.acc).items()}
+        n = max(float(a["n"]), 1.0)
+        nz = self.grid.ktot
+        m = lambda k: a[k] / n
+        u, w, thl = m("u"), m("w"), m("thl")
+        u_at_w = np.concatenate(
+            [u[..., :1], 0.5 * (u[..., 1:] + u[..., :-1]), u[..., -1:]],
+            axis=2)
+        thl_at_w = np.concatenate(
+            [thl[..., :1], 0.5 * (thl[..., 1:] + thl[..., :-1]),
+             thl[..., -1:]], axis=2)
+        data = {
+            "ut": u, "vt": m("v"), "wt": w[..., :nz], "thlt": thl,
+            "qtt": m("qt"),
+            "upwpt": (m("uw") - u_at_w * w)[..., :nz],
+            "wpthlpt": (m("wthl") - thl_at_w * w)[..., :nz],
+            "upupt": m("uu") - u ** 2,
+            "wpwpt": (m("ww") - w ** 2)[..., :nz],
+        }
+        sv = m("sv")
+        for i in range(self.nsv):
+            data[f"sca{i+1}t"] = sv[i]
+        self.writer.append(t, data)
+        self._zero()
+
+    def close(self):
+        self.writer.close()
+
+
+class SliceDump:
+    """Instantaneous k/i/j slices every tsample (modstatsdump l*slicedump):
+    kslicedump.<exp>.nc etc."""
+
+    def __init__(self, cfg, grid, outdir: str | Path = ".", nsv: int = 0):
+        self.cfg = cfg
+        self.grid = grid
+        self.writers = {}
+        exp = f"{cfg.run.iexpnr:03d}"
+        o = cfg.output
+        if o.lkslicedump:
+            w = NCWriter(Path(outdir) / f"kslicedump.{exp}.nc", grid)
+            for v in ("uk", "vk", "wk", "thlk"):
+                w.define(v, ("yt", "xt"))
+            self.writers["k"] = w
+        if o.lislicedump:
+            w = NCWriter(Path(outdir) / f"islicedump.{exp}.nc", grid)
+            for v in ("ui", "vi", "wi", "thli"):
+                w.define(v, ("zt", "yt"))
+            self.writers["i"] = w
+        if o.ljslicedump:
+            w = NCWriter(Path(outdir) / f"jslicedump.{exp}.nc", grid)
+            for v in ("uj", "vj", "wj", "thlj"):
+                w.define(v, ("zt", "xt"))
+            self.writers["j"] = w
+        self.tnext = cfg.output.tsample
+
+    def maybe_dump(self, state):
+        t = float(state.timee)
+        if t < self.tnext or not self.writers:
+            return
+        self.tnext += self.cfg.output.tsample
+        c = state.c
+        o = self.cfg.output
+        nz = self.grid.ktot
+        if "k" in self.writers:
+            k = min(o.kslice - 1, nz - 1)
+            self.writers["k"].append(t, {
+                "uk": np.asarray(c.u[:, :, k]).T,
+                "vk": np.asarray(c.v[:, :, k]).T,
+                "wk": np.asarray(c.w[:, :, k]).T,
+                "thlk": np.asarray(c.thl[:, :, k]).T})
+        if "i" in self.writers:
+            i = min(o.islice - 1, self.grid.itot - 1)
+            self.writers["i"].append(t, {
+                "ui": np.asarray(c.u[i]).T, "vi": np.asarray(c.v[i]).T,
+                "wi": np.asarray(c.w[i, :, :nz]).T,
+                "thli": np.asarray(c.thl[i]).T})
+        if "j" in self.writers:
+            j = min(o.jslice - 1, self.grid.jtot - 1)
+            self.writers["j"].append(t, {
+                "uj": np.asarray(c.u[:, j]).T, "vj": np.asarray(c.v[:, j]).T,
+                "wj": np.asarray(c.w[:, j, :nz]).T,
+                "thlj": np.asarray(c.thl[:, j]).T})
+
+    def close(self):
+        for w in self.writers.values():
+            w.close()
+
+
+class YTDump:
+    """y- and time-averaged x-z statistics (modstatsdump lytdump):
+    ytdump.<exp>.nc."""
+
+    def __init__(self, cfg, grid, outdir: str | Path = ".", masks=None):
+        self.cfg = cfg
+        self.grid = grid
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"ytdump.{exp}.nc", grid)
+        for v in ("uyt", "vyt", "wyt", "thlyt", "qtyt"):
+            self.writer.define(v, ("zt", "xt"))
+        self._zero()
+        self.tnext_sample = cfg.output.tsample
+        self.tnext_write = cfg.output.tstatsdump
+
+        def acc_fn(acc, state, masks):
+            c = state.c
+            ones = jnp.ones_like(c.u)
+            mu = masks.u if masks is not None else ones
+            mv = masks.v if masks is not None else ones
+            mc = masks.c if masks is not None else ones
+            mw = masks.w if masks is not None else jnp.ones_like(c.w)
+            nz = c.u.shape[2]
+            avy = lambda f, mk: jnp.sum(f * mk, axis=1) / jnp.maximum(
+                jnp.sum(mk, axis=1), 1.0)
+            return dict(
+                n=acc["n"] + 1,
+                u=acc["u"] + avy(c.u, mu), v=acc["v"] + avy(c.v, mv),
+                w=acc["w"] + avy(c.w[..., :nz], mw[..., :nz]),
+                thl=acc["thl"] + avy(c.thl, mc),
+                qt=acc["qt"] + avy(c.qt, mc))
+        self._acc_jit = jax.jit(acc_fn)
+
+    def _zero(self):
+        nx, _, nz = self.grid.shape
+        dt = self.grid.dtype
+        z = lambda: jnp.zeros((nx, nz), dt)
+        self.acc = dict(n=jnp.zeros((), dt), u=z(), v=z(), w=z(),
+                        thl=z(), qt=z())
+
+    def maybe_sample(self, state, masks=None):
+        t = float(state.timee)
+        if t < self.tnext_sample:
+            return
+        self.tnext_sample += self.cfg.output.tsample
+        self.acc = self._acc_jit(self.acc, state, masks)
+        if t >= self.tnext_write:
+            self.tnext_write += self.cfg.output.tstatsdump
+            a = {k: np.asarray(v) for k, v in
+                 jax.device_get(self.acc).items()}
+            n = max(float(a["n"]), 1.0)
+            self.writer.append(t, {
+                "uyt": a["u"] / n, "vyt": a["v"] / n, "wyt": a["w"] / n,
+                "thlyt": a["thl"] / n, "qtyt": a["qt"] / n})
+            self._zero()
+
+    def close(self):
+        self.writer.close()
+
+
 class XYTDump:
     """xytdump writer: time-mean profiles + derived turbulent moments."""
 

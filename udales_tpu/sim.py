@@ -86,6 +86,16 @@ class Simulation:
             self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
         else:
             self.xytdump = None
+        from .io.stats import SliceDump, TDump, YTDump
+        nsv = self.cfg.scalars.nsv
+        self.tdump = (TDump(self.cfg, model.grid, self.outdir, nsv)
+                      if self.cfg.output.ltdump else None)
+        self.ytdump = (YTDump(self.cfg, model.grid, self.outdir)
+                       if self.cfg.output.lytdump else None)
+        o = self.cfg.output
+        self.slices = (SliceDump(self.cfg, model.grid, self.outdir, nsv)
+                       if (o.lkslicedump or o.lislicedump or o.ljslicedump)
+                       else None)
         self.facwriter = None
         if self.cfg.eb.lEB and self.cfg.eb.lwriteEBfiles and model.eb:
             from .io.netcdf import NCWriter
@@ -133,6 +143,12 @@ class Simulation:
                 self.xytdump.maybe_sample(state, masks)
             if self.driver_rec is not None:
                 self.driver_rec.maybe_record(state)
+            if self.tdump is not None:
+                self.tdump.maybe_sample(state)
+            if self.ytdump is not None:
+                self.ytdump.maybe_sample(state, masks)
+            if self.slices is not None:
+                self.slices.maybe_dump(state)
             if self.monitor and nsteps % 50 == 0:
                 self._checksim(state, nsteps, wall0)
             if (self.facwriter is not None and state.fac is not None
@@ -151,6 +167,9 @@ class Simulation:
             self.xytdump.close()
         if self.driver_rec is not None:
             self.driver_rec.save()
+        for extra in (self.tdump, self.ytdump, self.slices):
+            if extra is not None:
+                extra.close()
         return state
 
     def _write_fac(self, state, t):
