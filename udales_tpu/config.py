@@ -113,9 +113,13 @@ class PhysicsConfig:
     igrw_damp: int = 0
     geodamptime: float = 7200.0
     lnudge: bool = False
+    lnudgevel: bool = True
     tnudge: float = 60.0
     nnudge: int = 0
     dpdx: float = 0.0         # constant streamwise pressure gradient
+    lmomsubs: bool = False    # subsidence acts on momentum too
+    ds: float = 0.0           # shifted-PBC spanwise shift
+    inletav: float = 0.0      # averaging time for the ifixuinf=2 controller
 
 
 @dataclass(frozen=True)

@@ -146,17 +146,107 @@ def masscorr_vvol(vp, vm, grid: Grid, cfg: Config, rk3coef, IIv, IIvs=None):
     return vp + vdef / rk3coef
 
 
-def nudge_top(c, grid: Grid, cfg: Config, unudge, vnudge, thlnudge, qtnudge):
-    """Relax the top nnudge cells to profiles (modforces.f90:826-859)."""
+def nudge_top(c, grid: Grid, cfg: Config, unudge, vnudge, thlnudge, qtnudge,
+              u0av=None, v0av=None, thl0av=None, qt0av=None):
+    """Relax the SLAB MEAN to the profiles for levels k >= nnudge
+    (modforces.f90:826-859): the tendency is uniform across each slab."""
     nx, ny, nz = grid.shape
     n = cfg.physics.nnudge
+    z3 = jnp.zeros((nx, ny, nz), c.u.dtype)
     if n <= 0:
-        z3 = jnp.zeros((nx, ny, nz), c.u.dtype)
         return z3, z3, z3, z3
-    mask = (jnp.arange(nz) >= nz - n)[None, None, :]
+    mask = (jnp.arange(nz) >= n).astype(c.u.dtype)
     tnudgei = 1.0 / cfg.physics.tnudge
-    du = -mask * (c.u - unudge[None, None, :]) * tnudgei
-    dv = -mask * (c.v - vnudge[None, None, :]) * tnudgei
-    dthl = -mask * (c.thl - thlnudge[None, None, :]) * tnudgei
-    dqt = -mask * (c.qt - qtnudge[None, None, :]) * tnudgei
+    prof = lambda av, ref: (-mask * (av - ref) * tnudgei)[None, None, :]
+    du = prof(u0av, unudge) + z3
+    dv = prof(v0av, vnudge) + z3
+    dthl = prof(thl0av, thlnudge) + z3
+    dqt = prof(qt0av, qtnudge) + z3
     return du, dv, dthl, dqt
+
+
+def lstend(c, grid: Grid, cfg: Config, whls, u0av, v0av, thl0av, qt0av,
+           sv0av, dqtdtls=None):
+    """Large-scale subsidence tendencies (modforces.f90:719-824): upwinded
+    w_ls d(phi)/dz using slab-average profiles; horizontal LS gradients are
+    zero unless provided. Returns slab-uniform tendencies
+    (du, dv, dthl, dqt, dsv profiles of shape (nz,) / (nsv, nz))."""
+    nz = grid.ktot
+    dzh = jnp.asarray(grid.j("dzh"))
+
+    def subs(av):
+        # downwind scheme (modforces.f90:792-814); lowest level only takes
+        # the downward branch (:769-781)
+        dn = whls[1:] * (jnp.concatenate([av[1:], av[-1:]]) - av) \
+            / dzh[1:]                                  # whls(k+1) branch
+        up_ = whls[:nz] * (av - jnp.concatenate([av[:1], av[:-1]])) \
+            / jnp.maximum(dzh[:nz], 1e-30)             # whls(k) branch
+        s = jnp.where(whls[1:] < 0, dn, up_)
+        s0 = jnp.where(whls[1] < 0, dn[0], 0.0)
+        return -jnp.concatenate([s0[None], s[1:]])
+
+    dthl = subs(thl0av)
+    dqt = subs(qt0av)
+    if dqtdtls is not None:
+        dqt = dqt + dqtdtls
+    if cfg.physics.lmomsubs:
+        du = subs(u0av)
+        dv = subs(v0av)
+    else:
+        du = jnp.zeros(nz, dthl.dtype)
+        dv = jnp.zeros(nz, dthl.dtype)
+    dsv = (jnp.stack([subs(sv0av[n]) for n in range(sv0av.shape[0])])
+           if sv0av.shape[0] else sv0av[:, 0, :] if sv0av.ndim == 3
+           else jnp.zeros((0, nz), dthl.dtype))
+    return du, dv, dthl, dqt, dsv
+
+
+def fixuinf1(c, grid: Grid, cfg: Config, dt, u0av, v0av):
+    """Free-stream velocity controller mode 1 (modforces.f90:220-288):
+    uniform correction -(1/dt)(u0av(ke) - Uinf) applied on the last
+    substep."""
+    du = -(u0av[-1] - cfg.bc.Uinf) / dt
+    dv = (-(v0av[-1] - cfg.bc.Vinf) / dt) if cfg.physics.lvinf else 0.0
+    return du, dv
+
+
+def periodic_eb_corr(grid: Grid, cfg: Config, tot_Tflux, tot_qflux, dtype):
+    """Heat-buildup volume sink for periodic EB runs
+    (modforces.f90:861-951, Grylls 2021). Returns (dthl, dqt) profiles."""
+    nz = grid.ktot
+    xlen, ylen = grid.xlen, grid.ylen
+    frac = cfg.eb.fraction
+    sinkbase = cfg.eb.sinkbase
+    H_proj = tot_Tflux / (xlen * ylen)
+    E_proj = tot_qflux / (xlen * ylen)
+    abl_h = grid.zh[-1] / frac
+    M = nz - (sinkbase + 1) + 1
+    R_t = H_proj / abl_h * nz / M
+    R_q = E_proj / abl_h * nz / M
+    phi_t = (1 - frac) * tot_Tflux / (xlen * ylen * grid.dzf[-1])
+    phi_q = (1 - frac) * tot_qflux / (xlen * ylen * grid.dzf[-1])
+    k = jnp.arange(nz)
+    # Fortran k = sinkbase+1 .. ke (1-based) == 0-based k >= sinkbase
+    above = (k >= sinkbase).astype(dtype)
+    top = (k == nz - 1).astype(dtype)
+    return R_t * above + phi_t * top, R_q * above + phi_q * top
+
+
+def shifted_pbcs(c, grid: Grid, cfg: Config, rk3coef, u0av, ds: float):
+    """Spanwise-shift nudging near the outlet half of the domain
+    (modforces.f90:953-980), used with shifted periodic BCs."""
+    import numpy as np
+    nx, ny, nz = grid.shape
+    ih = nx // 2
+    xh = grid.xh
+    vsx = np.zeros(nx)
+    vsx[ih + 1:] = (0.5 * np.pi * ds / (0.5 * grid.xlen)
+                    * np.sin(np.pi * (xh[ih + 1: nx] - xh[ih])
+                             / (0.5 * grid.xlen)))
+    vs = jnp.asarray(vsx, c.u.dtype)[:, None, None] \
+        * u0av[None, None, :]
+    dyj = lambda f: (f - jnp.roll(f, 1, axis=1)) * grid.dyi
+    du = -vs * dyj(c.u)
+    dv = -vs * dyj(c.v)
+    dw = -jnp.concatenate([vs, vs[:, :, -1:]], axis=2) * dyj(c.w)
+    return du, dv, dw

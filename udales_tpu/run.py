@@ -64,12 +64,27 @@ class Model:
             self.ug = jnp.asarray(inputs.lscale["ug"], fdt)
             self.vg = jnp.asarray(inputs.lscale["vg"], fdt)
             self.thlpcar = jnp.asarray(inputs.lscale["thlpcar"], fdt)
+            # subsidence half-level profile (modstartup.f90:2125-2129)
+            wfls = np.asarray(inputs.lscale["wfls"], float)
+            dzf, dzh = grid.dzf, grid.dzh
+            whls = np.zeros(nz + 1)
+            whls[1:nz] = (wfls[1:] * dzf[:-1] + wfls[:-1] * dzf[1:]) \
+                / (2.0 * dzh[1:nz])
+            whls[nz] = wfls[-1] + dzf[-1] * (wfls[-1] - wfls[-2]) / dzh[-2] \
+                if nz > 1 else wfls[-1]
+            self.whls = jnp.asarray(whls, fdt)
+            self.dqtdtls = jnp.asarray(inputs.lscale["dqtdt"], fdt)
+            self.has_lstend = bool(np.any(wfls != 0)
+                                   or np.any(inputs.lscale["dqtdt"] != 0))
         else:
             self.dpdxl = jnp.zeros(nz, fdt)
             self.dpdyl = jnp.zeros(nz, fdt)
             self.ug = jnp.zeros(nz, fdt)
             self.vg = jnp.zeros(nz, fdt)
             self.thlpcar = jnp.zeros(nz, fdt)
+            self.whls = jnp.zeros(nz + 1, fdt)
+            self.dqtdtls = jnp.zeros(nz, fdt)
+            self.has_lstend = False
         self.inputs = inputs
 
     # -- initial condition -------------------------------------------------
@@ -102,7 +117,14 @@ class Model:
             from .ops.openbc import init_xplanes
             f = dataclasses.replace(f, bx=init_xplanes(f, grid))
         fac = self.eb.initial_state() if self.eb is not None else None
-        return initial_state(grid, f, dt0=dt0, fac=fac)
+        st = initial_state(grid, f, dt0=dt0, fac=fac)
+        if cfg.physics.ifixuinf == 2:
+            from .state import Ctl
+            z = jnp.zeros((), grid.dtype)
+            uref = cfg.bc.Vinf if cfg.physics.lvinf else cfg.bc.Uinf
+            st = st.replace(ctl=Ctl(freestreamav=z + uref, dgdt=z,
+                                    dpdx_shift=z))
+        return st
 
     # -- one RK3 substep ---------------------------------------------------
     def substep(self, state: State, rk3step: int) -> State:
@@ -159,6 +181,13 @@ class Model:
         else:
             dsv = c.sv
 
+        # --- shifted periodic BCs (modforces.f90:953, after advection) -----
+        if cfg.physics.ds > 0:
+            from .ops.forces import shifted_pbcs
+            su_, sv_, sw_ = shifted_pbcs(c, grid, cfg, rk3coef, th.u0av,
+                                         cfg.physics.ds)
+            du, dv, dw = du + su_, dv + sv_, dw + sw_
+
         # --- subgrid diffusion ---------------------------------------------
         du = du + sgs.diff_u(g, grid)
         dv = dv + sgs.diff_v(g, grid)
@@ -183,9 +212,34 @@ class Model:
         # --- coriolis / forces / damping -----------------------------------
         cu, cv, cw = coriolis(g, grid, cfg, self.ug, self.vg)
         du, dv, dw = du + cu, dv + cv, dw + cw
-        fu, fv, fw = forces(g, grid, cfg, self.dpdxl, self.dpdyl,
+        dpdxl_eff = self.dpdxl
+        if cfg.physics.ifixuinf == 2 and state.ctl is not None:
+            dpdxl_eff = self.dpdxl + state.ctl.dpdx_shift
+        fu, fv, fw = forces(g, grid, cfg, dpdxl_eff, self.dpdyl,
                             th.thv0h, th.thvh)
         du, dv, dw = du + fu, dv + fv, dw + fw
+
+        # --- large-scale subsidence/advection (modforces.lstend) -----------
+        if self.has_lstend:
+            from .ops.forces import lstend
+            from .ops.thermo import avexy_masked
+            IIc_ = (self.ibm.masks.c if self.ibm is not None
+                    else jnp.ones((nx, ny, nz), du.dtype))
+            sv0av = (jnp.stack([avexy_masked(c.sv[n], IIc_)
+                                for n in range(nsv)])
+                     if nsv else jnp.zeros((0, nz), du.dtype))
+            sv0av = jnp.where(sv0av < -900.0, 0.0, sv0av)
+            lu, lv, lthl, lqt, lsv = lstend(
+                c, grid, cfg, self.whls, th.u0av, th.v0av, th.thl0av,
+                th.qt0av, sv0av, self.dqtdtls)
+            du = du + lu[None, None, :]
+            dv = dv + lv[None, None, :]
+            if ltemp:
+                dthl = dthl + lthl[None, None, :]
+            if lmoist:
+                dqt = dqt + lqt[None, None, :]
+            if nsv:
+                dsv = dsv + lsv[:, None, None, :]
         if ltemp:
             dthl = dthl + self.thlpcar[None, None, :]
         if cfg.physics.igrw_damp != 0:
@@ -227,6 +281,36 @@ class Model:
                 fac = dataclasses.replace(
                     fac, hfi=fac.hfi + dt * fachf,
                     efi=fac.efi + dt * facef)
+            # periodic heat-buildup sink (modforces.periodicEBcorr)
+            if cfg.eb.lperiodicEBcorr:
+                from .ops.forces import periodic_eb_corr
+                pthl, pqt = periodic_eb_corr(
+                    grid, cfg, jnp.sum(fachf), jnp.sum(facef), du.dtype)
+                if ltemp:
+                    dthl = dthl + pthl[None, None, :]
+                if lmoist:
+                    dqt = dqt + pqt[None, None, :]
+
+        # --- free-stream controllers (modforces.fixuinf1/2) ----------------
+        ctl = state.ctl
+        if cfg.physics.ifixuinf == 1 and rk3step == 3:
+            from .ops.forces import fixuinf1
+            cu1, cv1 = fixuinf1(c, grid, cfg, dt, th.u0av, th.v0av)
+            du = du + cu1
+            dv = dv + cv1
+        if cfg.physics.ifixuinf == 2 and ctl is not None:
+            ctl = dataclasses.replace(
+                ctl, dpdx_shift=ctl.dpdx_shift + ctl.dgdt * rk3coef)
+            if rk3step == 3:
+                freestream = th.v0av[-1] if cfg.physics.lvinf else th.u0av[-1]
+                inletav = max(cfg.physics.inletav, 1e-9)
+                fav = (freestream * dt / inletav
+                       + (1.0 - dt / inletav) * ctl.freestreamav)
+                tscale = cfg.physics.tscale if cfg.physics.tscale > 0 else 1.0
+                uref = cfg.bc.Vinf if cfg.physics.lvinf else cfg.bc.Uinf
+                ctl = dataclasses.replace(
+                    ctl, freestreamav=fav,
+                    dgdt=(1.0 / tscale) * (fav - uref))
 
         # --- mass-flow-rate correction (modforces.masscorr; skipped for
         # inflow/outflow runs, :352/:394) -----------------------------------
@@ -318,7 +402,7 @@ class Model:
                 c_new, sv=_chem(c_new.sv, dt, cfg, IIc))
         if rk3step == 3:
             m_new = c_new
-        return state.replace(c=c_new, m=m_new, pres=pres, fac=fac)
+        return state.replace(c=c_new, m=m_new, pres=pres, fac=fac, ctl=ctl)
 
     def _project(self, du, dv, dw, m: Fields, rk3coef, c=None, openx=None,
                  uouttot=None, pres=None, masks=None):

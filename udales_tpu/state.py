@@ -53,9 +53,21 @@ class State:
     dt: Any          # adaptive timestep (traced scalar)
     timee: Any       # elapsed simulation time (traced scalar)
     fac: Any = None  # FacetState for energy-balance runs (ibm/eb.py)
+    ctl: Any = None  # Controller state (ifixuinf=2 free-stream controller)
 
     def replace(self, **kw):
         return replace(self, **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Ctl:
+    """Free-stream controller state (ifixuinf=2, modforces.fixuinf2 +
+    modtstep.f90:194-200): running-average free stream, its rate dgdt, and
+    the accumulated dpdx offset."""
+    freestreamav: Any
+    dgdt: Any
+    dpdx_shift: Any
 
 
 def zero_fields(grid: Grid, nsv: int = 0, dtype=None) -> Fields:
