@@ -79,6 +79,131 @@ def sample(acc: XYTAccum, state, masks=None) -> XYTAccum:
         uw=acc.uw + clean(uw_av), wthl=acc.wthl + clean(wthl_av))
 
 
+class TKEDump:
+    """Resolved TKE budget profiles (modstatsdump ltkedump /
+    modstatistics.tkestats): shear production, buoyancy, turbulent
+    transport, pressure transport, SGS dissipation, and the TKE itself,
+    written to tkedump.<exp>.nc every tstatsdump."""
+
+    _VARS = [
+        ("tke", ("zt",), "m^2/s^2"),
+        ("shear", ("zt",), "m^2/s^3"),
+        ("buoy", ("zt",), "m^2/s^3"),
+        ("ttrans", ("zt",), "m^2/s^3"),
+        ("ptrans", ("zt",), "m^2/s^3"),
+        ("sgsdiss", ("zt",), "m^2/s^3"),
+        ("resid", ("zt",), "m^2/s^3"),
+    ]
+
+    def __init__(self, cfg, grid, outdir: str | Path = ".", model=None):
+        self.cfg = cfg
+        self.grid = grid
+        self.model = model
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"tkedump.{exp}.nc", grid)
+        for name, dims, units in self._VARS:
+            self.writer.define(name, dims, units)
+        self._zero()
+        self.tnext_sample = cfg.output.tsample
+        self.tnext_write = cfg.output.tstatsdump
+        self._acc_jit = jax.jit(self._acc)
+
+    def _zero(self):
+        nz = self.grid.ktot
+        dt = self.grid.dtype
+        z = lambda n=nz: jnp.zeros(n, dt)
+        self.acc = dict(n=jnp.zeros((), dt), u=z(), v=z(), w=z(nz + 1),
+                        uu=z(), vv=z(), ww=z(nz + 1), uw=z(nz + 1),
+                        wthv=z(nz + 1), thvw=z(nz + 1), we=z(nz + 1),
+                        wp=z(nz + 1), eps=z())
+
+    def _acc(self, acc, state):
+        from ..ops.thermo import slab_mean
+        c = state.c
+        nz = self.grid.ktot
+        av = slab_mean
+        u_at_w = jnp.concatenate(
+            [c.u[..., :1], 0.5 * (c.u[..., 1:] + c.u[..., :-1]),
+             c.u[..., -1:]], axis=2)
+        v_at_w = jnp.concatenate(
+            [c.v[..., :1], 0.5 * (c.v[..., 1:] + c.v[..., :-1]),
+             c.v[..., -1:]], axis=2)
+        thv_at_w = jnp.concatenate(
+            [c.thl[..., :1], 0.5 * (c.thl[..., 1:] + c.thl[..., :-1]),
+             c.thl[..., -1:]], axis=2)
+        e_at_w = 0.5 * (u_at_w ** 2 + v_at_w ** 2 + c.w ** 2)
+        p_at_w = jnp.concatenate(
+            [state.pres[..., :1],
+             0.5 * (state.pres[..., 1:] + state.pres[..., :-1]),
+             state.pres[..., -1:]], axis=2)
+        # SGS dissipation estimate: ekm * 2 S_ij S_ij from the closure
+        from ..ops import subgrid as sgs
+        from ..run import _velocity_ghosts
+        g = _velocity_ghosts(c, self.model.cfg, self.grid)
+        s2 = sgs._strain2(g, self.grid)
+        ekm, ekh, _ = sgs.closure(g, self.grid, self.model.cfg, e12=c.e12,
+                                  dthvdz=None, thl=c.thl, thvs=288.0)
+        eps = av(ekm * 2.0 * s2)
+        return dict(
+            n=acc["n"] + 1,
+            u=acc["u"] + av(c.u), v=acc["v"] + av(c.v),
+            w=acc["w"] + av(c.w),
+            uu=acc["uu"] + av(c.u ** 2), vv=acc["vv"] + av(c.v ** 2),
+            ww=acc["ww"] + av(c.w ** 2),
+            uw=acc["uw"] + av(u_at_w * c.w),
+            wthv=acc["wthv"] + av(thv_at_w * c.w),
+            thvw=acc["thvw"] + av(thv_at_w),
+            we=acc["we"] + av(e_at_w * c.w),
+            wp=acc["wp"] + av(p_at_w * c.w),
+            eps=acc["eps"] + eps)
+
+    def maybe_sample(self, state):
+        t = float(state.timee)
+        if t < self.tnext_sample:
+            return
+        self.tnext_sample += self.cfg.output.tsample
+        self.acc = self._acc_jit(self.acc, state)
+        if t >= self.tnext_write:
+            self.tnext_write += self.cfg.output.tstatsdump
+            self.write(t)
+
+    def write(self, t):
+        from ..config import const
+        a = {k: np.asarray(v) for k, v in jax.device_get(self.acc).items()}
+        n = max(float(a["n"]), 1.0)
+        g = self.grid
+        nz = g.ktot
+        m = lambda k: a[k] / n
+        u, v, w = m("u"), m("v"), m("w")
+        u_w = np.concatenate([u[:1], 0.5 * (u[1:] + u[:-1]), u[-1:]])
+        upwp = m("uw") - u_w * w
+        dudz = np.zeros(nz + 1)
+        dudz[1:nz] = (u[1:] - u[:-1]) / g.dzh[1:nz]
+        shear_w = -upwp * dudz
+        shear = 0.5 * (shear_w[1:] + shear_w[:-1])
+        thv_mean_w = m("thvw")
+        wpthvp = m("wthv") - w * thv_mean_w
+        buoy_w = const.grav / np.maximum(thv_mean_w, 1.0) * wpthvp
+        buoy = 0.5 * (buoy_w[1:] + buoy_w[:-1])
+        we = m("we")
+        ttrans = -(we[1:] - we[:-1]) / g.dzf
+        wp_ = m("wp")
+        ptrans = -(wp_[1:] - wp_[:-1]) / g.dzf
+        up2 = m("uu") - u ** 2
+        vp2 = m("vv") - v ** 2
+        wp2 = m("ww") - w ** 2
+        tke = 0.5 * (up2 + vp2 + 0.5 * (wp2[1:] + wp2[:-1]))
+        sgsdiss = -m("eps")
+        resid = shear + buoy + ttrans + ptrans + sgsdiss
+        self.writer.append(t, {
+            "tke": tke, "shear": shear, "buoy": buoy, "ttrans": ttrans,
+            "ptrans": ptrans, "sgsdiss": sgsdiss, "resid": resid})
+        self._zero()
+
+    def close(self):
+        self.writer.close()
+
+
 class TDump:
     """3-D time-averaged fields + second moments (modstatsdump ltdump):
     writes `tdump.<exp>.nc` every tstatsdump with time means of u,v,w,thl,

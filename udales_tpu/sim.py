@@ -86,10 +86,12 @@ class Simulation:
             self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
         else:
             self.xytdump = None
-        from .io.stats import SliceDump, TDump, YTDump
+        from .io.stats import SliceDump, TDump, TKEDump, YTDump
         nsv = self.cfg.scalars.nsv
         self.tdump = (TDump(self.cfg, model.grid, self.outdir, nsv)
                       if self.cfg.output.ltdump else None)
+        self.tkedump = (TKEDump(self.cfg, model.grid, self.outdir, model)
+                        if self.cfg.output.ltkedump else None)
         self.ytdump = (YTDump(self.cfg, model.grid, self.outdir)
                        if self.cfg.output.lytdump else None)
         o = self.cfg.output
@@ -145,6 +147,8 @@ class Simulation:
                 self.driver_rec.maybe_record(state)
             if self.tdump is not None:
                 self.tdump.maybe_sample(state)
+            if self.tkedump is not None:
+                self.tkedump.maybe_sample(state)
             if self.ytdump is not None:
                 self.ytdump.maybe_sample(state, masks)
             if self.slices is not None:
@@ -167,7 +171,7 @@ class Simulation:
             self.xytdump.close()
         if self.driver_rec is not None:
             self.driver_rec.save()
-        for extra in (self.tdump, self.ytdump, self.slices):
+        for extra in (self.tdump, self.ytdump, self.slices, self.tkedump):
             if extra is not None:
                 extra.close()
         return state
