@@ -165,3 +165,27 @@ class TestDriverReplay:
         np.testing.assert_allclose(np.asarray(out.c.u[0]),
                                    np.asarray(planes["u"]), atol=1e-12)
         assert np.isfinite(np.asarray(out.c.u)).all()
+
+
+class TestRecycleInlet:
+    def test_recycle_rescale(self):
+        """Recycle inlet: inlet mean equals target, fluctuations recycled."""
+        from udales_tpu.ops.openbc import BC_RECYCLE, Inlet
+        model = make_open_model()
+        nz = model.grid.ktot
+        j = jnp.asarray
+        model.inlet = Inlet(
+            mode=BC_RECYCLE, uprof=j(np.full(nz, 1.0)),
+            vprof=j(np.zeros(nz)), thlprof=j(np.full(nz, 288.0)),
+            qtprof=j(np.zeros(nz)), e12prof=j(np.full(nz, 5e-5)),
+            svprof=jnp.zeros((0, nz)), irecy=12)
+        s = open_state(model, amp=0.05)
+        step = jax.jit(model.step)
+        for _ in range(3):
+            s = step(s)
+        u_in = np.asarray(s.c.u[0])
+        # slab mean at the inlet equals the target profile
+        np.testing.assert_allclose(u_in.mean(axis=0), 1.0, atol=1e-6)
+        # turbulence is carried in
+        assert u_in.std() > 1e-4
+        assert np.isfinite(np.asarray(s.c.u)).all()

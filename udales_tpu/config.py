@@ -257,6 +257,7 @@ class EnergyBalanceConfig:
 class DriverConfig:
     """&DRIVER / &INLET (moddriver.f90, modinlet.f90)."""
     idriver: int = 0
+    iinletgen: int = 0
     tdriverstart: float = 0.0
     dtdriver: float = 0.1
     driverstore: int = 0

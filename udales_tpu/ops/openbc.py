@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from ..config import BC_DRIVER, BC_PERIODIC, BC_PROFILE, Config
 from ..grid import Grid
 
+BC_RECYCLE = 5  # rescale-recycle inlet (modinlet.f90 inletgen, Lund 1998)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -64,6 +66,8 @@ class Inlet:
     thl: Any = None
     qt: Any = None
     sv: Any = None         # (nt, nsv, ny, nz)
+    # recycle inlet
+    irecy: int = 0         # recycle plane index (reference irecy=ib+iplane)
 
     def planes(self, timee, ny: int, nz: int):
         """Return dict of inlet planes at time `timee` (linear interpolation
@@ -93,6 +97,29 @@ class Inlet:
                         else jnp.zeros((0,) + self.u.shape[1:],
                                        self.u.dtype)),
                     e12=None)
+
+
+def recycle_planes(inlet: Inlet, c, ny: int, nz: int):
+    """Rescale-recycle inlet (compact Lund-1998, modinlet.f90 inletgen:202):
+    the inlet plane is the target mean profile plus the de-meaned
+    fluctuations sampled at the recycle plane. The full inner/outer
+    boundary-layer-thickness blending of the reference is condensed to a
+    uniform rescale, which preserves its two essential properties (target
+    mean, recycled turbulence)."""
+    ir = inlet.irecy % c.u.shape[0]
+    fl = lambda plane: plane - plane.mean(axis=0, keepdims=True)
+    b = lambda p: jnp.broadcast_to(p[None, :], (ny, nz))
+    return dict(
+        u=b(inlet.uprof) + fl(c.u[ir]),
+        v=b(inlet.vprof) + fl(c.v[ir]),
+        w=fl(c.w[ir]),
+        thl=b(inlet.thlprof) + fl(c.thl[ir]),
+        qt=b(inlet.qtprof) + fl(c.qt[ir]),
+        e12=b(inlet.e12prof),
+        sv=(jnp.broadcast_to(inlet.svprof[:, None, :],
+                             (inlet.svprof.shape[0], ny, nz))
+            if inlet.svprof is not None and inlet.svprof.shape[0]
+            else jnp.zeros((0, ny, nz), c.u.dtype)))
 
 
 def uouttot_value(cfg: Config, u0av, grid: Grid):

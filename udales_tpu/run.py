@@ -146,8 +146,11 @@ class Model:
         openx = None
         uouttot = None
         if self.inlet is not None:
-            from .ops.openbc import uouttot_value
-            inlet_planes = self.inlet.planes(state.timee, ny, nz)
+            from .ops.openbc import BC_RECYCLE, recycle_planes, uouttot_value
+            if self.inlet.mode == BC_RECYCLE:
+                inlet_planes = recycle_planes(self.inlet, c, ny, nz)
+            else:
+                inlet_planes = self.inlet.planes(state.timee, ny, nz)
             openx = {"inlet": inlet_planes, "bx": c.bx}
             uouttot = uouttot_value(cfg, th.u0av, grid)
 
@@ -506,9 +509,12 @@ class Model:
         # dt from the previous step's fields (tstep_update at rk3step==1)
         openx0 = None
         if self.inlet is not None:
+            from .ops.openbc import BC_RECYCLE, recycle_planes
             ny, nz = self.grid.jtot, self.grid.ktot
-            openx0 = {"inlet": self.inlet.planes(state.timee, ny, nz),
-                      "bx": state.m.bx}
+            planes0 = (recycle_planes(self.inlet, state.m, ny, nz)
+                       if self.inlet.mode == BC_RECYCLE
+                       else self.inlet.planes(state.timee, ny, nz))
+            openx0 = {"inlet": planes0, "bx": state.m.bx}
         gvel = _velocity_ghosts(state.m, self.cfg, self.grid, openx0)
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(state.m, self.cfg, self.grid, masks)
@@ -636,4 +642,15 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         from .ops.openbc import load_driver_inlet
         dpath = case_dir / f"driverdata.{cfg.driver.driverjobnr:03d}.h5"
         model.inlet = load_driver_inlet(dpath, grid.dtype)
+    elif cfg.driver.iinletgen == 1:
+        # rescale-recycle turbulent inlet (modinlet.f90, iinletgen=1)
+        from .ops.openbc import BC_RECYCLE, Inlet
+        p = inputs.prof
+        j = lambda a: jnp.asarray(a, grid.dtype)
+        model.inlet = Inlet(
+            mode=BC_RECYCLE, uprof=j(p["u"]), vprof=j(p["v"]),
+            thlprof=j(p["thl"]), qtprof=j(p["qt"]),
+            e12prof=j(np.maximum(p["e12"], const.e12min)),
+            svprof=jnp.zeros((cfg.scalars.nsv, dom.ktot), grid.dtype),
+            irecy=cfg.driver.iplane)
     return model
