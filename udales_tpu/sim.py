@@ -119,6 +119,9 @@ class Simulation:
         self.monitor = monitor
         self.tnextrestart = self.cfg.run.trestart
         self.ntrun = 0
+        # per-step monitor file (modtstep.f90:290-320 writes monitor<id>.txt)
+        self._monitor_path = self.outdir / f"monitor.{self._exp()}.txt"
+        self.profile_dir = None  # set to a path to enable jax.profiler
         self.driver_rec = (DriverRecorder(self.cfg, model.grid, self.outdir)
                            if self.cfg.driver.idriver == 1 else None)
 
@@ -134,6 +137,10 @@ class Simulation:
         masks = self.model.ibm.masks if self.model.ibm else None
         wall0 = time.time()
         nsteps = 0
+        prof_ctx = None
+        if self.profile_dir is not None:
+            jax.profiler.start_trace(str(self.profile_dir))
+            prof_ctx = True
         while float(state.timee) < t_end:
             state = self.step(state)
             nsteps += 1
@@ -162,9 +169,14 @@ class Simulation:
             if t >= self.tnextrestart:
                 self.tnextrestart += cfg.run.trestart
                 self._write_restart(state)
+            with open(self._monitor_path, "a") as mf:
+                mf.write(f"{t:14.6e} {float(state.dt):14.6e}\n")
             if (self.outdir / f"exit_now.{self._exp()}").exists():
                 self._write_restart(state)
                 break
+            if prof_ctx is not None and nsteps == 12:
+                jax.profiler.stop_trace()
+                prof_ctx = None
         if self.fielddump:
             self.fielddump.close()
         if self.xytdump:
@@ -174,6 +186,8 @@ class Simulation:
         for extra in (self.tdump, self.ytdump, self.slices, self.tkedump):
             if extra is not None:
                 extra.close()
+        if prof_ctx is not None:
+            jax.profiler.stop_trace()
         return state
 
     def _write_fac(self, state, t):
@@ -232,6 +246,9 @@ def main(argv=None):
     ap.add_argument("--runtime", type=float, default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--seed", type=int, default=43)
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the first "
+                         "~12 steps")
     args = ap.parse_args(argv)
 
     case = Path(args.case)
@@ -243,6 +260,8 @@ def main(argv=None):
     model = load_case(case, expnr, dtype=args.dtype)
     outdir = args.outdir or "."
     sim = Simulation(model, outdir)
+    if args.profile:
+        sim.profile_dir = args.profile
     print(f"udales_tpu: case {case} grid {model.grid} "
           f"devices {jax.devices()}", flush=True)
     state = None
