@@ -51,6 +51,33 @@ def staggered_grids(grid: Grid):
     }
 
 
+def _cell_box_arrays(gp: GridPoints, grid: Grid):
+    """Per-axis box face coordinate arrays for every staggered point."""
+    g = grid
+    dx2, dy2 = g.dx / 2, g.dy / 2
+    if gp.name == "u":
+        bx = (gp.x - dx2, gp.x + dx2)
+        by = (g.yh[:-1], g.yh[1:])
+        bz = (g.zh[:-1], g.zh[1:])
+    elif gp.name == "v":
+        bx = (g.xh[:-1], g.xh[1:])
+        by = (gp.y - dy2, gp.y + dy2)
+        bz = (g.zh[:-1], g.zh[1:])
+    elif gp.name == "w":
+        nz = grid.ktot
+        k = np.arange(nz)
+        zlo = gp.z - g.dzf[np.maximum(k - 1, 0)] / 2
+        zhi = gp.z + g.dzf[np.minimum(k, nz - 1)] / 2
+        bx = (g.xh[:-1], g.xh[1:])
+        by = (g.yh[:-1], g.yh[1:])
+        bz = (zlo, zhi)
+    else:
+        bx = (g.xh[:-1], g.xh[1:])
+        by = (g.yh[:-1], g.yh[1:])
+        bz = (g.zh[:-1], g.zh[1:])
+    return bx, by, bz
+
+
 def _cell_box(gp: GridPoints, grid: Grid, i, j, k):
     """Control volume of staggered point (i,j,k)."""
     g = grid
@@ -119,11 +146,21 @@ class IBMPreproc:
             + ([normals[np.asarray(img_ids)]] if imgs else []))
         self.facid_ext = np.concatenate(
             [base_ids] + ([np.asarray(img_ids)] if imgs else []))
+        # native C++ kernels (native/ibmprep.cpp) if g++ is available
+        try:
+            from .native import get_lib
+            get_lib()
+            self.use_native = True
+        except Exception:
+            self.use_native = False
 
     @classmethod
-    def from_stl(cls, stl_path, grid: Grid):
+    def from_stl(cls, stl_path, grid: Grid, use_native: bool | None = None):
         tris, normals = read_stl(stl_path)
-        return cls(grid, tris, normals)
+        obj = cls(grid, tris, normals)
+        if use_native is not None:
+            obj.use_native = use_native
+        return obj
 
     # -- solid masks -------------------------------------------------------
     def solid_mask(self, which: str) -> np.ndarray:
@@ -131,10 +168,15 @@ class IBMPreproc:
             self._mask_cache = {}
         if which not in self._mask_cache:
             gp = self.gps[which]
-            self._mask_cache[which] = (
-                grid_inside(gp.x, gp.y, gp.z, self.tris_ext)
-                | grid_on_surface(gp.x, gp.y, gp.z, self.tris_ext,
-                                  self.norm_ext))
+            if self.use_native:
+                from .native import grid_solid_mask
+                m = grid_solid_mask(self.tris_ext, self.norm_ext,
+                                    gp.x, gp.y, gp.z)
+            else:
+                m = (grid_inside(gp.x, gp.y, gp.z, self.tris_ext)
+                     | grid_on_surface(gp.x, gp.y, gp.z, self.tris_ext,
+                                       self.norm_ext))
+            self._mask_cache[which] = m
         return self._mask_cache[which]
 
     def solid_points(self, which: str) -> np.ndarray:
@@ -256,7 +298,20 @@ class IBMPreproc:
         dist))."""
         solid = self.solid_mask(which)
         nbr_bnd = self.boundary_points(solid)
-        cuts = self.cut_sections(which, ~solid)
+        if self.use_native:
+            from .native import cut_sections as native_cut
+            gp = self.gps[which]
+            boxes = _cell_box_arrays(gp, self.grid)
+            axis = gp.dir_axis if gp.dir_axis is not None else -1
+            fac, area, ijk, dist = native_cut(
+                self.tris_ext, self.norm_ext, self.facid_ext, boxes,
+                (gp.x, gp.y, gp.z), ~solid, axis)
+            cuts = {}
+            for f_, a_, (i, j, k), d_ in zip(fac, area, ijk, dist):
+                cuts.setdefault((int(i), int(j), int(k)), []).append(
+                    (int(f_), float(a_), float(d_)))
+        else:
+            cuts = self.cut_sections(which, ~solid)
         keys = set(map(tuple, nbr_bnd)) | set(cuts.keys())
         bnd = np.asarray(sorted(keys), np.int64).reshape(-1, 3)
         bidx = {tuple(p): n for n, p in enumerate(map(tuple, bnd))}
