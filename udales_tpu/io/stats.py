@@ -421,6 +421,90 @@ class YTDump:
         self.writer.close()
 
 
+class XYDump:
+    """Instantaneous slab-average profiles every tsample (modstatsdump
+    lxydump): xydump.<exp>.nc."""
+
+    def __init__(self, cfg, grid, outdir: str | Path = "."):
+        self.cfg = cfg
+        self.grid = grid
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"xydump.{exp}.nc", grid)
+        for v, d in (("uxy", "zt"), ("vxy", "zt"), ("wxy", "zm"),
+                     ("thlxy", "zt"), ("qtxy", "zt")):
+            self.writer.define(v, (d,))
+        self.tnext = cfg.output.tsample
+
+        def fn(state, masks):
+            c = state.c
+            ones = jnp.ones_like(c.u)
+            IIu = masks.u if masks is not None else ones
+            IIv = masks.v if masks is not None else ones
+            IIc = masks.c if masks is not None else ones
+            IIw = masks.w if masks is not None else jnp.ones_like(c.w)
+            cl = lambda a: jnp.where(a < -900.0, 0.0, a)
+            return (cl(avexy_masked(c.u, IIu)), cl(avexy_masked(c.v, IIv)),
+                    cl(avexy_masked(c.w, IIw)),
+                    cl(avexy_masked(c.thl, IIc)),
+                    cl(avexy_masked(c.qt, IIc)))
+        self._fn = jax.jit(fn)
+
+    def maybe_dump(self, state, masks=None):
+        t = float(state.timee)
+        if t < self.tnext:
+            return
+        self.tnext += self.cfg.output.tsample
+        u, v, w, thl, qt = [np.asarray(x) for x in self._fn(state, masks)]
+        nz = self.grid.ktot
+        self.writer.append(t, {"uxy": u, "vxy": v, "wxy": w[:nz],
+                               "thlxy": thl, "qtxy": qt})
+
+    def close(self):
+        self.writer.close()
+
+
+class YDump:
+    """Instantaneous y-averaged x-z fields every tsample (modstatsdump
+    lydump): ydump.<exp>.nc."""
+
+    def __init__(self, cfg, grid, outdir: str | Path = "."):
+        self.cfg = cfg
+        self.grid = grid
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"ydump.{exp}.nc", grid)
+        for v in ("uy", "vy", "wy", "thly", "qty"):
+            self.writer.define(v, ("zt", "xt"))
+        self.tnext = cfg.output.tsample
+
+        def fn(state, masks):
+            c = state.c
+            nz = c.u.shape[2]
+            ones = jnp.ones_like(c.u)
+            mk = lambda m: m if masks is None else m
+            IIu = masks.u if masks is not None else ones
+            IIv = masks.v if masks is not None else ones
+            IIc = masks.c if masks is not None else ones
+            IIw = masks.w if masks is not None else jnp.ones_like(c.w)
+            avy = lambda f, M: jnp.sum(f * M, axis=1) / jnp.maximum(
+                jnp.sum(M, axis=1), 1.0)
+            return (avy(c.u, IIu), avy(c.v, IIv),
+                    avy(c.w[..., :nz], IIw[..., :nz]),
+                    avy(c.thl, IIc), avy(c.qt, IIc))
+        self._fn = jax.jit(fn)
+
+    def maybe_dump(self, state, masks=None):
+        t = float(state.timee)
+        if t < self.tnext:
+            return
+        self.tnext += self.cfg.output.tsample
+        u, v, w, thl, qt = [np.asarray(x) for x in self._fn(state, masks)]
+        self.writer.append(t, {"uy": u, "vy": v, "wy": w, "thly": thl,
+                               "qty": qt})
+
+    def close(self):
+        self.writer.close()
+
+
 class XYTDump:
     """xytdump writer: time-mean profiles + derived turbulent moments."""
 

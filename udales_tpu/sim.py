@@ -86,8 +86,13 @@ class Simulation:
             self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
         else:
             self.xytdump = None
-        from .io.stats import SliceDump, TDump, TKEDump, YTDump
+        from .io.stats import (SliceDump, TDump, TKEDump, XYDump, YDump,
+                               YTDump)
         nsv = self.cfg.scalars.nsv
+        self.xydump = (XYDump(self.cfg, model.grid, self.outdir)
+                       if self.cfg.output.lxydump else None)
+        self.ydump = (YDump(self.cfg, model.grid, self.outdir)
+                      if self.cfg.output.lydump else None)
         self.tdump = (TDump(self.cfg, model.grid, self.outdir, nsv)
                       if self.cfg.output.ltdump else None)
         self.tkedump = (TKEDump(self.cfg, model.grid, self.outdir, model)
@@ -156,6 +161,10 @@ class Simulation:
                 self.tdump.maybe_sample(state)
             if self.tkedump is not None:
                 self.tkedump.maybe_sample(state)
+            if self.xydump is not None:
+                self.xydump.maybe_dump(state, masks)
+            if self.ydump is not None:
+                self.ydump.maybe_dump(state, masks)
             if self.ytdump is not None:
                 self.ytdump.maybe_sample(state, masks)
             if self.slices is not None:
@@ -183,7 +192,8 @@ class Simulation:
             self.xytdump.close()
         if self.driver_rec is not None:
             self.driver_rec.save()
-        for extra in (self.tdump, self.ytdump, self.slices, self.tkedump):
+        for extra in (self.tdump, self.ytdump, self.slices, self.tkedump,
+                      self.xydump, self.ydump):
             if extra is not None:
                 extra.close()
         if prof_ctx is not None:
