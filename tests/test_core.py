@@ -171,3 +171,30 @@ class TestStep:
             / grid.dzh[:grid.ktot][None, None, :]))
         assert float(s2.dt) <= 5.0
         assert float(s2.dt) * cour <= 1.5 * 1.001
+
+
+class TestPoissonDiag:
+    def test_diag_matches_thomas(self):
+        """The uniform-z diagonal path equals the tridiagonal path up to an
+        additive constant (the singular mean mode)."""
+        cfg = make_cfg()
+        d = cfg.domain
+        grid = Grid.uniform(d.itot, d.jtot, d.ktot, d.xlen, d.ylen, 8.0,
+                            dtype=np.float64)
+        pois = PoissonSolver(grid, cfg)
+        assert pois.diag_z
+        rng = np.random.default_rng(7)
+        rhs = jnp.asarray(rng.standard_normal(grid.shape))
+        rhs = rhs - jnp.mean(rhs)  # compatible
+        p_diag = pois.solve(rhs)
+        pois.diag_z = False
+        p_thom = pois.solve(rhs)
+        dd = np.asarray(p_diag) - np.asarray(p_thom)
+        assert np.abs(dd - dd.mean()).max() < 1e-8, np.abs(dd-dd.mean()).max()
+
+    def test_stretched_uses_thomas(self):
+        cfg = make_cfg()
+        zf = np.cumsum(1.05 ** np.arange(8)) - 0.5 * 1.05 ** np.arange(8)
+        grid = Grid(16, 12, 8, 16.0, 12.0, zf, dtype=np.float64)
+        pois = PoissonSolver(grid, cfg)
+        assert not pois.diag_z

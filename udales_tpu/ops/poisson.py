@@ -46,6 +46,40 @@ def dct2(x, axis: int):
     return jnp.real(X[tuple(sl)] * tw)
 
 
+def dct2_fast(x, axis: int):
+    """DCT-II via the Makhoul fold: reorder to v = [x0,x2,...,x5,x3,x1],
+    one length-n FFT, twiddle. Half the transform length of the
+    even-extension form."""
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1)
+    v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
+    V = jnp.fft.fft(v, axis=-1)
+    k = jnp.arange(n)
+    tw = 2.0 * jnp.exp(-1j * jnp.pi * k / (2 * n))
+    X = jnp.real(V * tw)
+    return jnp.moveaxis(X, -1, axis)
+
+
+def idct2_fast(x, axis: int):
+    """Exact inverse of dct2_fast (scaled DCT-III via inverse fold)."""
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1).astype(
+        jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128)
+    k = jnp.arange(n)
+    tw = jnp.exp(1j * jnp.pi * k / (2 * n)) / 2.0
+    # rebuild the complex spectrum of the folded sequence:
+    # V_k = tw_k * (X_k - i X_{n-k}), X_n := 0
+    xr = x.real
+    xflip = jnp.concatenate([jnp.zeros_like(xr[..., :1]),
+                             xr[..., 1:][..., ::-1]], axis=-1)
+    V = tw * (xr - 1j * xflip)
+    v = jnp.fft.ifft(V, axis=-1)
+    out = jnp.zeros_like(xr)
+    out = out.at[..., ::2].set(jnp.real(v[..., : (n + 1) // 2]))
+    out = out.at[..., 1::2].set(jnp.real(v[..., (n + 1) // 2:][..., ::-1]))
+    return jnp.moveaxis(out, -1, axis)
+
+
 def idct2(x, axis: int):
     """Exact inverse of :func:`dct2` (= DCT-III / 2n, FFTW REDFT01).
 
@@ -138,6 +172,29 @@ class PoissonSolver:
         self.cp = jnp.asarray(cp, fdt)
         self.Af = jnp.asarray(-(a[None, None, :] * w), fdt)  # forward multiplier
 
+        # Fully-diagonal fast path: uniform z + Boussinesq density + simple
+        # top BC lets the z direction be diagonalized by a DCT-II
+        # (modpois.f90 BCzp==2 eigenvalues, :182-187) instead of the
+        # tridiagonal solve. The mean mode differs from the reference's
+        # Dirichlet-top pin only by an additive constant in p, which the
+        # projection gradient cancels.
+        from ..config import BCTOPM_PRESSURE
+        self.diag_z = (self.per_x and self.per_y
+                       and np.allclose(dzf, dzf[0], rtol=1e-12)
+                       and np.allclose(rhobf, 1.0)
+                       and np.allclose(rhobh, 1.0)
+                       and cfg.bc.BCtopm != BCTOPM_PRESSURE
+                       and cfg.bc.BCzp == 1)
+        if self.diag_z:
+            dzi = 1.0 / dzf[0]
+            kz = np.arange(nz)
+            zrt = -4.0 * dzi * dzi * np.sin(np.pi * kz / (2 * nz)) ** 2
+            lam3 = lam[:, :, None] + zrt[None, None, :]
+            inv = np.where(np.abs(lam3) > 1e-300, 1.0 / np.where(
+                np.abs(lam3) > 1e-300, lam3, 1.0), 0.0)
+            inv[0, 0, 0] = 0.0   # pin the global mean mode
+            self.inv_lam3 = jnp.asarray(inv, fdt)
+
     def _tridiag(self, rhs):
         """Solve per-mode tridiagonal systems, rhs (mx, my, nz) complex."""
         # forward: y_k = Af_k y_{k-1} + (rhs_k w_k)
@@ -167,6 +224,16 @@ class PoissonSolver:
         xp = self._pencil("x")   # i local (x-pencil): P(None, 'y', 'x')
         yp = self._pencil("y")   # j local (y-pencil): P('x', None, 'y')
         zp = self._pencil("z")   # k local (z-pencil): P('x', 'y', None)
+        if self.diag_z:
+            # fully diagonal: DCT(z) -> rfft(x) -> fft(y) -> divide -> back
+            G = zp(dct2_fast(zp(rhs), axis=2))
+            F = xp(jnp.fft.rfft(xp(G), axis=0))
+            F = yp(jnp.fft.fft(yp(F), axis=1))
+            X = zp(F.astype(cplx)) * self.inv_lam3
+            X = yp(jnp.fft.ifft(yp(X), axis=1))
+            Gp = xp(jnp.fft.irfft(xp(X), n=self.grid.itot, axis=0))
+            p = zp(idct2_fast(zp(Gp), axis=2))
+            return p.astype(rhs.dtype)
         # constrain both sides of every FFT so the partitioner never splits
         # the transform axis (it would, and XLA's partitioned c128 FFT is
         # broken); the reshards between pencils become all-to-alls.

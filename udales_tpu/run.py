@@ -597,6 +597,11 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         nam = sorted(case_dir.glob("namoptions.*"))[0]
         expnr = nam.suffix[1:]
     cfg = load_namoptions(case_dir / f"namoptions.{expnr}", dtype=dtype)
+    if cfg.bc.BCym != BC_PERIODIC:
+        raise NotImplementedError(
+            "open y-boundaries (BCym != periodic) are not implemented yet; "
+            "the supported inflow/outflow direction is x (the reference's "
+            "linoutflow configuration)")
     dom = cfg.domain
     np_dt = np.float32 if dtype == "float32" else np.float64
     grid = Grid.from_prof_inp(case_dir / f"prof.inp.{expnr}", dom.itot,

@@ -276,12 +276,20 @@ def main(argv=None):
           f"devices {jax.devices()}", flush=True)
     state = None
     if model.cfg.run.lwarmstart and model.cfg.run.startfile:
-        from .io.restart import warmstart_state
         exp = f"{model.cfg.run.iexpnr:03d}"
-        sdir = case / "warmstart_files"
-        sdir = sdir if sdir.exists() else case
-        state = warmstart_state(sdir, model.cfg.run.startfile, exp,
-                                model.cfg, model.grid)
+        if model.cfg.run.startfile.endswith(".h5"):
+            # native checkpoint resume
+            from .io.restart import load_checkpoint
+            ck = case / model.cfg.run.startfile
+            ck = ck if ck.exists() else Path(outdir) / model.cfg.run.startfile
+            state = load_checkpoint(ck, model.grid)
+        else:
+            # reference Fortran unformatted restart files
+            from .io.restart import warmstart_state
+            sdir = case / "warmstart_files"
+            sdir = sdir if sdir.exists() else case
+            state = warmstart_state(sdir, model.cfg.run.startfile, exp,
+                                    model.cfg, model.grid)
         print(f"warmstart from {model.cfg.run.startfile} "
               f"t={float(state.timee):.2f}", flush=True)
     final = sim.run(state, runtime=args.runtime, seed=args.seed)
