@@ -67,7 +67,10 @@ def read_facet_sections(path: str | Path):
     """facet_sections_*.txt: header '# facet area flux point distance';
     rows `facetid area bndptid dist` (modibm.f90:350-357).
     Returns (facet_ids0, areas, bndpt_ids0, distances)."""
-    d = np.loadtxt(path, skiprows=1, ndmin=2)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # empty section files are valid
+        d = np.loadtxt(path, skiprows=1, ndmin=2)
     if d.size == 0:
         return (np.zeros(0, np.int64), np.zeros(0), np.zeros(0, np.int64),
                 np.zeros(0))

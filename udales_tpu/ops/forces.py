@@ -131,7 +131,7 @@ def masscorr_uvol(up, um, grid: Grid, cfg: Config, rk3coef, IIu, IIus=None):
     uoutflow = rk3coef * jnp.sum(uvol * dzf) / zh_top
     uflowrateold = jnp.sum(uvolold * dzf) / zh_top
     udef = cfg.physics.uflowrate - (uoutflow + uflowrateold)
-    return up + udef / rk3coef
+    return up + (udef / rk3coef).astype(up.dtype)
 
 
 def masscorr_vvol(vp, vm, grid: Grid, cfg: Config, rk3coef, IIv, IIvs=None):
@@ -143,7 +143,7 @@ def masscorr_vvol(vp, vm, grid: Grid, cfg: Config, rk3coef, IIv, IIvs=None):
     voutflow = rk3coef * jnp.sum(vvol * dzf) / zh_top
     vflowrateold = jnp.sum(vvolold * dzf) / zh_top
     vdef = cfg.physics.vflowrate - (voutflow + vflowrateold)
-    return vp + vdef / rk3coef
+    return vp + (vdef / rk3coef).astype(vp.dtype)
 
 
 def nudge_top(c, grid: Grid, cfg: Config, unudge, vnudge, thlnudge, qtnudge,

@@ -110,7 +110,9 @@ def hydrostatic_profiles(th0av_e, qt0av_e, ql0av_e, grid: Grid, cfg: Config,
     presf, presh, thvh_prof, thvf = one_pass(th0av2)
     exnf = (presf / const.pref0) ** rdocp
     exnh = (presh / const.pref0) ** rdocp
-    return presf, presh, exnf, exnh, thvf
+    dt = th0av_e.dtype
+    return (presf.astype(dt), presh.astype(dt), exnf.astype(dt),
+            exnh.astype(dt), thvf.astype(dt))
 
 
 def thermodynamics(c, cfg: Config, grid: Grid, masks=None) -> ThermoDiag:

@@ -329,7 +329,8 @@ class Model:
         # --- IBM: zero solid normal velocities (ibmnorm) -------------------
         if self.ibm is not None:
             dzf_w = grid.j("dzf")
-            thl_vmean = jnp.sum(th.thl0av * jnp.asarray(dzf_w)) / grid.zh[-1]
+            thl_vmean = (jnp.sum(th.thl0av * jnp.asarray(dzf_w))
+                         / grid.zh[-1]).astype(c.thl.dtype)
             du, dv, dw, dthl, dqt, dsv, m = self.ibm.ibmnorm(
                 c, m, grid, cfg, du, dv, dw, dthl, dqt, dsv, rk3coef,
                 thl_vmean)
