@@ -163,3 +163,40 @@ class TestSimulation:
                          mmap=False)
         assert ks.variables["uk"].shape[1:] == (12, 16)
         assert ks.variables["time"].shape[0] >= 4
+
+    def test_mintdump_treedump(self, tmp_path):
+        """lmintdump/ltreedump write time-averaged prognostics and
+        vegetation tendencies (modstatsdump.f90:341,364)."""
+        import dataclasses
+        from udales_tpu.sim import Simulation
+        from udales_tpu.config import TreesConfig
+        from udales_tpu.physics import Vegetation
+        from scipy.io import netcdf_file
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            run=dataclasses.replace(cfg.run, ladaptive=False, dtmax=0.05,
+                                    randomize=True),
+            trees=dataclasses.replace(cfg.trees, ltrees=True),
+            output=dataclasses.replace(cfg.output, lmintdump=True,
+                                       ltreedump=True,
+                                       tsample=0.05, tstatsdump=0.15))
+        model = make_model(cfg)
+        nx, ny, nz = model.grid.shape
+        lad = np.zeros((nx, ny, nz))
+        lad[4:8, 4:8, 0:3] = 1.2
+        model.vegetation = Vegetation(cfg, model.grid, lad, lad * 0.2,
+                                      np.full_like(lad, 0.01) * (lad > 0),
+                                      np.full_like(lad, 0.05),
+                                      np.full_like(lad, 100.0))
+        sim = Simulation(model, tmp_path, monitor=False)
+        sim.run(runtime=0.3)
+        mt = netcdf_file(str(tmp_path / "mintdump.000.nc"), "r", mmap=False)
+        assert mt.variables["ut"].shape[1:] == (8, 12, 16)
+        assert np.isfinite(mt.variables["pt"][:]).all()
+        tr = netcdf_file(str(tmp_path / "treedump.000.nc"), "r", mmap=False)
+        tru = tr.variables["tr_u"][:]
+        assert np.isfinite(tru).all()
+        # drag opposes the mean flow inside the canopy, zero outside
+        assert tru[0, 1, 5, 5] < 0
+        assert tru[0, 1, 5, 12] == 0.0

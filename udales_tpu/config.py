@@ -319,6 +319,7 @@ class OutputConfig:
     fieldvars: str = ""
     ltdump: bool = False
     lmintdump: bool = False
+    ltreedump: bool = False
     lxydump: bool = False
     lxytdump: bool = False
     lydump: bool = False

@@ -301,6 +301,120 @@ class TDump:
         self.writer.close()
 
 
+class MinTDump:
+    """Minimal 3-D time-averaged prognostics (modstatsdump lmintdump,
+    modstatsdump.f90:341-363,1670-1684): writes mintdump.<exp>.nc with
+    time means of u, v, w, thl, qt, p every tstatsdump."""
+
+    def __init__(self, cfg, grid, outdir: str | Path = "."):
+        self.cfg = cfg
+        self.grid = grid
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"mintdump.{exp}.nc", grid)
+        for name, dims in (("ut", ("zt", "yt", "xm")),
+                           ("vt", ("zt", "ym", "xt")),
+                           ("wt", ("zm", "yt", "xt")),
+                           ("thlt", ("zt", "yt", "xt")),
+                           ("qtt", ("zt", "yt", "xt")),
+                           ("pt", ("zt", "yt", "xt"))):
+            self.writer.define(name, dims)
+        self._zero()
+        self.tnext_sample = cfg.output.tsample
+        self.tnext_write = cfg.output.tstatsdump
+
+        def acc_fn(acc, state):
+            c = state.c
+            return dict(n=acc["n"] + 1, u=acc["u"] + c.u, v=acc["v"] + c.v,
+                        w=acc["w"] + c.w, thl=acc["thl"] + c.thl,
+                        qt=acc["qt"] + c.qt, p=acc["p"] + state.pres)
+        self._acc_jit = jax.jit(acc_fn)
+
+    def _zero(self):
+        nx, ny, nz = self.grid.shape
+        dt = self.grid.dtype
+        z = lambda *s: jnp.zeros(s, dt)
+        self.acc = dict(n=jnp.zeros((), dt), u=z(nx, ny, nz),
+                        v=z(nx, ny, nz), w=z(nx, ny, nz + 1),
+                        thl=z(nx, ny, nz), qt=z(nx, ny, nz),
+                        p=z(nx, ny, nz))
+
+    def maybe_sample(self, state):
+        t = float(state.timee)
+        if t < self.tnext_sample:
+            return
+        self.tnext_sample += self.cfg.output.tsample
+        self.acc = self._acc_jit(self.acc, state)
+        if t >= self.tnext_write:
+            self.tnext_write += self.cfg.output.tstatsdump
+            self.write(t)
+
+    def write(self, t):
+        a = {k: np.asarray(v) for k, v in jax.device_get(self.acc).items()}
+        n = max(float(a["n"]), 1.0)
+        nz = self.grid.ktot
+        self.writer.append(t, {
+            "ut": a["u"] / n, "vt": a["v"] / n, "wt": a["w"][..., :nz] / n,
+            "thlt": a["thl"] / n, "qtt": a["qt"] / n, "pt": a["p"] / n})
+        self._zero()
+
+    def close(self):
+        self.writer.close()
+
+
+class TreeDump:
+    """Time-averaged vegetation source terms (modstatsdump ltreedump,
+    modstatsdump.f90:364-390,1237-1290): writes treedump.<exp>.nc with
+    means of the canopy drag/energy-balance/deposition tendencies."""
+
+    VARS = ("tr_u", "tr_v", "tr_w", "tr_thl", "tr_qt", "tr_qtR", "tr_qtA",
+            "tr_sv1", "tr_sv2", "tr_omega")
+
+    def __init__(self, cfg, grid, vegetation, outdir: str | Path = "."):
+        self.cfg = cfg
+        self.grid = grid
+        self.veg = vegetation
+        exp = f"{cfg.run.iexpnr:03d}"
+        self.writer = NCWriter(Path(outdir) / f"treedump.{exp}.nc", grid)
+        for name in self.VARS:
+            zdim = "zm" if name == "tr_w" else "zt"
+            self.writer.define(name, (zdim, "yt", "xt"))
+        self._zero()
+        self.tnext_sample = cfg.output.tsample
+        self.tnext_write = cfg.output.tstatsdump
+
+        def acc_fn(acc, state):
+            d = vegetation.diagnostics(state.c)
+            out = {k: acc[k] + d[k] for k in self.VARS}
+            out["n"] = acc["n"] + 1
+            return out
+        self._acc_jit = jax.jit(acc_fn)
+
+    def _zero(self):
+        nx, ny, nz = self.grid.shape
+        dt = self.grid.dtype
+        self.acc = {k: jnp.zeros((nx, ny, nz), dt) for k in self.VARS}
+        self.acc["n"] = jnp.zeros((), dt)
+
+    def maybe_sample(self, state):
+        t = float(state.timee)
+        if t < self.tnext_sample:
+            return
+        self.tnext_sample += self.cfg.output.tsample
+        self.acc = self._acc_jit(self.acc, state)
+        if t >= self.tnext_write:
+            self.tnext_write += self.cfg.output.tstatsdump
+            self.write(t)
+
+    def write(self, t):
+        a = {k: np.asarray(v) for k, v in jax.device_get(self.acc).items()}
+        n = max(float(a["n"]), 1.0)
+        self.writer.append(t, {k: a[k] / n for k in self.VARS})
+        self._zero()
+
+    def close(self):
+        self.writer.close()
+
+
 class SliceDump:
     """Instantaneous k/i/j slices every tsample (modstatsdump l*slicedump):
     kslicedump.<exp>.nc etc."""

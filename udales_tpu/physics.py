@@ -354,34 +354,77 @@ class Vegetation:
         # canopy energy balance (sveg mode, vegetation.f90:500-540)
         if (cfg.physics.lmoist and cfg.physics.ltempeq
                 and self.sveg is not None):
-            gam = (const.cp * const.pref0 * const.rv) / (const.rlv * const.rd)
-            q_av = self.sveg / jnp.maximum(self.lad, 1e-12)
-            e_sat = 610.8 * jnp.exp(17.27 * (m.thl - 273.15)
-                                    / (m.thl - 35.85))
-            e_vap = (m.qt * const.pref0) / (0.378 * m.qt + 0.622)
-            d_vap = jnp.maximum(e_sat - e_vap, 0.0)
-            slope = (4098 * e_sat) / ((m.thl - 35.85) ** 2)
-            uc2 = 0.5 * (m.u + jnp.roll(m.u, -1, axis=0))
-            vc2 = 0.5 * (m.v + jnp.roll(m.v, -1, axis=1))
-            wc2 = 0.5 * (m.w[..., :nz] + m.w[..., 1:])
-            wind2 = jnp.maximum(uc2 ** 2 + vc2 ** 2 + wc2 ** 2, 1e-12)
-            r_a = 130.0 * jnp.sqrt(self.lsize / jnp.sqrt(wind2))
-            omega = 1.0 / (1.0 + 2.0 * (gam / (slope + 2 * gam))
-                           * (self.rs / r_a))
-            qe = (omega * (slope / (slope + 2 * gam)) * q_av
-                  + (1 - omega) * (1.0 / (gam * self.rs))
-                  * const.rhoa * const.cp * d_vap)
-            qh = q_av - qe
-            active = self.lad > 0
-            dqt = dqt + jnp.where(active,
-                                  self.lad * qe / (const.rhoa * const.rlv),
-                                  0.0)
-            dthl = dthl + jnp.where(active,
-                                    self.lad * qh / (const.rhoa * const.cp),
-                                    0.0)
+            eb = self._canopy_eb(m)
+            dqt = dqt + eb["dqt"]
+            dthl = dthl + eb["dthl"]
 
         # scalar deposition (vegetation.f90:424-437)
         if dsv.shape[0] > 0:
             dep = self.lad * self.ud
             dsv = dsv - m.sv * dep[None]
         return du, dv, dw, dthl, dqt, dsv
+
+    def _canopy_eb(self, m):
+        """Penman-Monteith canopy energy balance (vegetation.f90:500-540).
+
+        Returns the thl/qt tendencies plus the radiative/aerodynamic split
+        of the latent flux and the decoupling factor omega, as needed by the
+        treedump statistics (modstatsdump.f90:1245-1279)."""
+        import jax.numpy as jnp
+        nz = self.grid.ktot
+        gam = (const.cp * const.pref0 * const.rv) / (const.rlv * const.rd)
+        q_av = self.sveg / jnp.maximum(self.lad, 1e-12)
+        e_sat = 610.8 * jnp.exp(17.27 * (m.thl - 273.15)
+                                / (m.thl - 35.85))
+        e_vap = (m.qt * const.pref0) / (0.378 * m.qt + 0.622)
+        d_vap = jnp.maximum(e_sat - e_vap, 0.0)
+        slope = (4098 * e_sat) / ((m.thl - 35.85) ** 2)
+        uc2 = 0.5 * (m.u + jnp.roll(m.u, -1, axis=0))
+        vc2 = 0.5 * (m.v + jnp.roll(m.v, -1, axis=1))
+        wc2 = 0.5 * (m.w[..., :nz] + m.w[..., 1:])
+        wind2 = jnp.maximum(uc2 ** 2 + vc2 ** 2 + wc2 ** 2, 1e-12)
+        r_a = 130.0 * jnp.sqrt(self.lsize / jnp.sqrt(wind2))
+        omega = 1.0 / (1.0 + 2.0 * (gam / (slope + 2 * gam))
+                       * (self.rs / r_a))
+        qeR = omega * (slope / (slope + 2 * gam)) * q_av
+        qeA = ((1 - omega) * (1.0 / (gam * self.rs))
+               * const.rhoa * const.cp * d_vap)
+        qe = qeR + qeA
+        qh = q_av - qe
+        active = self.lad > 0
+        z = jnp.zeros_like(m.thl)
+        scale_q = self.lad / (const.rhoa * const.rlv)
+        return dict(
+            dqt=jnp.where(active, scale_q * qe, z),
+            dqtR=jnp.where(active, scale_q * qeR, z),
+            dqtA=jnp.where(active, scale_q * qeA, z),
+            dthl=jnp.where(active,
+                           self.lad * qh / (const.rhoa * const.cp), z),
+            omega=jnp.where(active, omega, z))
+
+    def diagnostics(self, m):
+        """Instantaneous vegetation tendencies as dense 3-D fields, in the
+        treedump variable layout (modstatsdump.f90:371-380).  Recomputed
+        from the current state (pure function), which matches the
+        per-sample values the reference stores from the last substep."""
+        import jax.numpy as jnp
+        nx, ny, nz = self.grid.shape
+        z3 = jnp.zeros((nx, ny, nz), self.grid.dtype)
+        du, dv, dw, dthl, dqt, dsv = self.forcing(
+            m, self.grid, self.cfg, z3, z3,
+            jnp.zeros((nx, ny, nz + 1), self.grid.dtype), z3, z3,
+            jnp.zeros_like(m.sv))
+        out = dict(tr_u=du, tr_v=dv, tr_w=dw[..., :nz], tr_thl=dthl,
+                   tr_qt=dqt, tr_qtR=z3, tr_qtA=z3, tr_omega=z3,
+                   tr_sv1=z3, tr_sv2=z3)
+        if (self.cfg.physics.lmoist and self.cfg.physics.ltempeq
+                and self.sveg is not None):
+            eb = self._canopy_eb(m)
+            out["tr_qtR"] = eb["dqtR"]
+            out["tr_qtA"] = eb["dqtA"]
+            out["tr_omega"] = eb["omega"]
+        if m.sv.shape[0] > 0:
+            out["tr_sv1"] = dsv[0]
+        if m.sv.shape[0] > 1:
+            out["tr_sv2"] = dsv[1]
+        return out

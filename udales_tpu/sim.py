@@ -86,8 +86,8 @@ class Simulation:
             self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
         else:
             self.xytdump = None
-        from .io.stats import (SliceDump, TDump, TKEDump, XYDump, YDump,
-                               YTDump)
+        from .io.stats import (MinTDump, SliceDump, TDump, TKEDump, TreeDump,
+                               XYDump, YDump, YTDump)
         nsv = self.cfg.scalars.nsv
         self.xydump = (XYDump(self.cfg, model.grid, self.outdir)
                        if self.cfg.output.lxydump else None)
@@ -99,6 +99,12 @@ class Simulation:
                         if self.cfg.output.ltkedump else None)
         self.ytdump = (YTDump(self.cfg, model.grid, self.outdir)
                        if self.cfg.output.lytdump else None)
+        self.mintdump = (MinTDump(self.cfg, model.grid, self.outdir)
+                         if self.cfg.output.lmintdump else None)
+        self.treedump = (TreeDump(self.cfg, model.grid, model.vegetation,
+                                  self.outdir)
+                         if (self.cfg.output.ltreedump
+                             and model.vegetation is not None) else None)
         o = self.cfg.output
         self.slices = (SliceDump(self.cfg, model.grid, self.outdir, nsv)
                        if (o.lkslicedump or o.lislicedump or o.ljslicedump)
@@ -169,6 +175,10 @@ class Simulation:
                 self.ytdump.maybe_sample(state, masks)
             if self.slices is not None:
                 self.slices.maybe_dump(state)
+            if self.mintdump is not None:
+                self.mintdump.maybe_sample(state)
+            if self.treedump is not None:
+                self.treedump.maybe_sample(state)
             if self.monitor and nsteps % 50 == 0:
                 self._checksim(state, nsteps, wall0)
             if (self.facwriter is not None and state.fac is not None
@@ -193,7 +203,7 @@ class Simulation:
         if self.driver_rec is not None:
             self.driver_rec.save()
         for extra in (self.tdump, self.ytdump, self.slices, self.tkedump,
-                      self.xydump, self.ydump):
+                      self.xydump, self.ydump, self.mintdump, self.treedump):
             if extra is not None:
                 extra.close()
         if prof_ctx is not None:
