@@ -80,3 +80,82 @@ class TestRun:
                + (c.w[:, :, 1:] - c.w[:, :, :-1])
                * grid.dzfi[None, None, :].astype(np.float32))
         assert float(jnp.abs(div).max()) < 1e-4
+
+
+class TestReconstruction:
+    """Reconstruction-point path (initibmwallfun:384-533, wallfunmom:1352)."""
+
+    def _grid(self):
+        from udales_tpu.grid import Grid
+        return Grid.uniform(16, 12, 8, 16.0, 12.0, 8.0, dtype=np.float64)
+
+    def test_reconstruction_point_geometry(self):
+        from udales_tpu.ibm.ibm import _reconstruction_data
+        grid = self._grid()
+        ijk = np.array([[5, 5, 2]])
+        dist = np.array([0.01])
+        n = np.array([[1.0, 0.0, 1.0]]) / np.sqrt(2.0)
+        z0 = np.array([0.01])
+        ok, recdist, interp = _reconstruction_data(ijk, dist, n, z0, 0, grid)
+        assert ok[0]
+        # p0=(5.5,5.5,2.5); exit through x=6 / z=3 at t=0.5/ (3^(1/2)/2^(1/2))
+        t = 0.5 / (np.sqrt(3.0) / np.sqrt(2.0))
+        assert np.isclose(recdist[0], 0.01 + t * np.sqrt(3.0))
+        for key in ("u", "v", "w", "c"):
+            idx, wgt = interp[key]
+            assert np.allclose(wgt.sum(axis=1), 1.0)
+
+    def test_too_close_skipped_when_lnorec(self):
+        """With lnorec the close section is skipped (reference switch)."""
+        import dataclasses
+        from udales_tpu.run import load_case
+        cfg_mod = load_case(CASE, "101", dtype="float32")
+        # 101's asphalt z0=0.05, dist ~0.25 -> log(5)=1.6>1: no rec needed
+        for s in cfg_mod.ibm.sec.values():
+            if s.rec is not None:
+                assert not s.rec.any()
+
+    def test_trilinear_sampling(self):
+        """A linear field is reproduced exactly at the reconstruction
+        point (trilinear_interp_var:1609)."""
+        from udales_tpu.config import Config, DomainConfig
+        from udales_tpu.ibm.ibm import (IBM, Masks, SecData,
+                                        _reconstruction_data)
+        grid = self._grid()
+        nx, ny, nz = grid.shape
+        cfg = Config(domain=DomainConfig(itot=nx, jtot=ny, ktot=nz,
+                                         xlen=16.0, ylen=12.0))
+        ijk = np.array([[5, 5, 2]])
+        dist = np.array([0.01])
+        facnorm = np.array([[1.0, 0.0, 1.0]]) / np.sqrt(2.0)
+        z0 = np.array([0.01])
+        ok, recdist, interp = _reconstruction_data(ijk, dist, facnorm, z0,
+                                                   0, grid)
+        assert ok[0]
+        sec_c = SecData(ijk=ijk, area=np.array([1.0]), dist=recdist,
+                        fac=np.array([0]), active=np.array([True]),
+                        rec=ok, interp=interp)
+        z = np.zeros(0)
+        empty = SecData(np.zeros((0, 3), np.int64), z, z,
+                        np.zeros(0, np.int64), z.astype(bool))
+        ones = lambda *s: jnp.ones(s, jnp.float64)
+        masks = Masks(u=ones(nx, ny, nz), v=ones(nx, ny, nz),
+                      w=ones(nx, ny, nz + 1), c=ones(nx, ny, nz))
+        ibm = IBM(cfg, grid, masks, empty, empty, empty, sec_c,
+                  facnorm, z0, z0 / 10, np.array([288.0]), np.array([1.0]))
+        # linear fields: u = x (on u faces x=i), thl = 300 + z
+        import dataclasses as dc
+        from udales_tpu.state import profile_fields
+        f = profile_fields(grid, np.zeros(nz), np.zeros(nz),
+                           np.full(nz, 288.0), np.zeros(nz),
+                           np.full(nz, 5e-5))
+        u = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64)[:, None, None],
+                             (nx, ny, nz))
+        thl = jnp.broadcast_to(300.0 + jnp.asarray(grid.j("zf")),
+                               (nx, ny, nz))
+        f = dc.replace(f, u=u, thl=thl)
+        uu, vv, ww, Ta = ibm._gather_uvw("c", f, grid)
+        # recpt = p0 + t*seg = (6.0, 5.5, 3.0)
+        assert np.isclose(float(uu[0]), 6.0, atol=1e-12)
+        assert np.isclose(float(Ta[0]), 303.0, atol=1e-12)
+        assert np.isclose(float(vv[0]), 0.0, atol=1e-12)

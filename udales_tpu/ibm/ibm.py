@@ -14,10 +14,13 @@ gather -> transfer-coefficient -> segment/scatter-add over sections
 (wallfunmom :1286, wallfunheat :1436, diffu/v/w/c_corr :990-1164,
 ibmnorm/solid :697-826).
 
-The reconstruction-point path (lcomprec=false, trilinear interpolation at
-points deeper in the log layer) is not yet implemented; all active sections
-use the boundary-point interpolation, which is the reference's behaviour
-under its `lnorec` switch.
+The reconstruction-point path (lcomprec=false, initibmwallfun :384-533) is
+fully static: for sections whose boundary point sits too deep in the
+roughness layer (log(dist/z0) <= 1) the sampling point is moved out of the
+cell along the facet normal at load time, and the trilinear interpolation
+reduces to an 8-corner gather with precomputed indices and weights
+(trilinear_interp_var :1609).  Setting `lnorec` in &WALLS skips those
+sections instead, matching the reference switch.
 """
 from __future__ import annotations
 
@@ -52,9 +55,101 @@ class SecData:
     """Facet sections for one staggered grid (static, host-side)."""
     ijk: np.ndarray      # (S,3) 0-based boundary-point indices
     area: np.ndarray     # (S,)
-    dist: np.ndarray     # (S,) wall distance
+    dist: np.ndarray     # (S,) effective wall distance (incl. rec extension)
     fac: np.ndarray      # (S,) facet id, 0-based
     active: np.ndarray   # (S,) bool: not skipped (modibm.f90:371-380, 1364)
+    rec: np.ndarray = None       # (S,) bool: sample at reconstruction point
+    interp: dict = None          # grid key -> (idx (S,8,3), wgt (S,8))
+
+
+def _tri_axis(coord, x, n, clamp=False):
+    """Base index + fraction along one axis of a trilinear interpolation
+    (initibmwallfun findloc calls, modibm.f90:432-451).
+
+    ``coord`` is the 1-D coordinate array searched (with the reference's
+    one ghost entry for cell-centre grids); field corner indices wrap
+    periodically in x/y and clamp at the top in z."""
+    i0 = np.searchsorted(coord, x, side="right") - 1
+    ok = (i0 >= 0) & (i0 <= len(coord) - 2)
+    i0c = np.clip(i0, 0, len(coord) - 2)
+    t = (x - coord[i0c]) / (coord[i0c + 1] - coord[i0c])
+    d = np.array([0, 1])
+    idx = i0c[:, None] + d[None, :]
+    idx = np.minimum(idx, n - 1) if clamp else idx % n
+    return idx, np.clip(t, 0.0, 1.0), ok
+
+
+def _reconstruction_data(ijk, dist, norms, z0, dir_align, grid):
+    """Static reconstruction points + trilinear gather tables
+    (initibmwallfun, modibm.f90:384-533).
+
+    For each section: exit point of the segment (cell centre ->
+    centre + n*sqrt(3)*(dx dy dz)^(1/3)) through the boundary cell's six
+    faces, the extended wall distance, and per-staggered-grid corner
+    indices/weights for trilinear interpolation at that point.  Returns
+    (ok, recdist, interp)."""
+    nx, ny, nz = grid.shape
+    dx, dy = grid.dx, grid.dy
+    dz0 = float(grid.j("dzf")[0])   # reference assumes equidistant z here
+    xh, xf, yh, yf = grid.xh, grid.xf, grid.yh, grid.yf
+    zf, zh = np.asarray(grid.j("zf")), np.asarray(grid.j("zh"))
+
+    # staggered cell centre of the boundary point (p0)
+    cgrid = {1: (xh, yf, zf), 2: (xf, yh, zf),
+             3: (xf, yf, zh), 0: (xf, yf, zf)}[dir_align]
+    p0 = np.stack([cgrid[0][ijk[:, 0]], cgrid[1][ijk[:, 1]],
+                   cgrid[2][ijk[:, 2]]], axis=1)            # (S,3)
+    L = np.sqrt(3.0) * (dx * dy * dz0) ** (1.0 / 3.0)
+    seg = norms * L                                          # (S,3)
+
+    # first intersection with the 6 cell-face planes (x +- dx/2 ...)
+    half = np.array([dx / 2, dy / 2, dz0 / 2])
+    t_best = np.full(len(ijk), np.inf)
+    for ax in range(3):
+        for sgn in (-1.0, 1.0):
+            D = seg[:, ax]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (sgn * half[ax]) / D
+            valid = (np.abs(D) > const.eps1) & (t >= 0.0) & (t <= 1.0)
+            t_best = np.where(valid & (t < t_best), t, t_best)
+    ok = np.isfinite(t_best)
+    t_best = np.where(ok, t_best, 0.0)
+    recpt = p0 + t_best[:, None] * seg                       # (S,3)
+    recdist = dist + t_best * L
+
+    # runtime guard made static (wallfunmom:1364): still too shallow -> skip
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ok &= np.log(np.maximum(recdist, 1e-30)
+                     / np.maximum(z0, 1e-30)) > 1.0
+
+    # per-grid trilinear tables; x/y ghost centres mirror the reference's
+    # halo cells (periodic), z gets one ghost centre above the domain
+    xf_e = np.append(xf, xf[-1] + dx)
+    yf_e = np.append(yf, yf[-1] + dy)
+    zf_e = np.append(zf, zf[-1] + (zh[-1] - zf[-1]) * 2)
+    axes = {"xh": (xh, nx, False), "xf": (xf_e, nx, False),
+            "yh": (yh, ny, False), "yf": (yf_e, ny, False),
+            "zf": (zf_e, nz, True), "zh": (zh, nz + 1, True)}
+    grids = {"u": ("xh", "yf", "zf"), "v": ("xf", "yh", "zf"),
+             "w": ("xf", "yf", "zh"), "c": ("xf", "yf", "zf")}
+    interp = {}
+    di = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    dj = np.array([0, 0, 1, 1, 0, 0, 1, 1])
+    dk = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    for key, (ax, ay, az) in grids.items():
+        ix, tx, okx = _tri_axis(axes[ax][0], recpt[:, 0], axes[ax][1],
+                                clamp=axes[ax][2])
+        iy, ty, oky = _tri_axis(axes[ay][0], recpt[:, 1], axes[ay][1],
+                                clamp=axes[ay][2])
+        iz, tz, okz = _tri_axis(axes[az][0], recpt[:, 2], axes[az][1],
+                                clamp=axes[az][2])
+        ok &= okx & oky & okz
+        idx = np.stack([ix[:, di], iy[:, dj], iz[:, dk]], axis=2)  # (S,8,3)
+        wx = np.stack([1 - tx, tx], 1)[:, di]
+        wy = np.stack([1 - ty, ty], 1)[:, dj]
+        wz = np.stack([1 - tz, tz], 1)[:, dk]
+        interp[key] = (idx.astype(np.int32), wx * wy * wz)
+    return ok, recdist, interp
 
 
 class IBM:
@@ -136,9 +231,22 @@ class IBM:
                 skip |= (norm_align == dir_align)
             skip |= facz0[fac] < const.eps1
             with np.errstate(divide="ignore", invalid="ignore"):
-                skip |= ~(np.log(np.maximum(dist, 1e-30) / facz0[fac]) > 1.0)
-            return SecData(ijk=ijk, area=area, dist=dist, fac=fac,
-                           active=~skip), bndpts
+                close = ~(np.log(np.maximum(dist, 1e-30)
+                                 / facz0[fac]) > 1.0) & ~skip
+            rec = np.zeros(len(fac), bool)
+            interp = None
+            dist_eff = dist
+            if cfg.walls.lnorec or not close.any():
+                skip |= close
+            else:
+                # reconstruction path (initibmwallfun:384-533)
+                ok, recdist, interp = _reconstruction_data(
+                    ijk, dist, facnorm[fac], facz0[fac], dir_align, grid)
+                rec = close & ok
+                skip |= close & ~ok
+                dist_eff = np.where(rec, recdist, dist)
+            return SecData(ijk=ijk, area=area, dist=dist_eff, fac=fac,
+                           active=~skip, rec=rec, interp=interp), bndpts
 
         sec_u, _ = load_sec("u", 1)
         sec_v, _ = load_sec("v", 2)
@@ -175,6 +283,12 @@ class IBM:
                 z0=jnp.asarray(self.facz0[s.fac[act]], g.dtype),
                 z0h=jnp.asarray(self.facz0h[s.fac[act]], g.dtype),
             )
+            # reconstruction-point gather tables (static; see module doc)
+            if s.rec is not None and s.rec[act].any():
+                d["rec"] = jnp.asarray(s.rec[act])
+                for key, (idx, wgt) in s.interp.items():
+                    d[f"rci_{key}"] = jnp.asarray(idx[act], jnp.int32)
+                    d[f"rcw_{key}"] = jnp.asarray(wgt[act], g.dtype)
             self.dev[name] = d
         # padded masks for neighbour logic (periodic x/y; k ghosts: bottom
         # solid, top fluid — modibm.f90:156-159)
@@ -284,7 +398,24 @@ class IBM:
             vv = 0.5 * (G(v, i, j, k) + G(v, i, jp, k))
             ww = 0.5 * (G(w, i, j, k) + G(w, i, j, k + 1))
             Ta = G(thl, i, j, k)
+
+        # reconstruction-point sampling where the boundary point is too
+        # deep in the roughness layer (wallfunmom:1352-1363)
+        if "rec" in d:
+            r = d["rec"]
+            uu = jnp.where(r, self._tri(u, d, "u"), uu)
+            vv = jnp.where(r, self._tri(v, d, "v"), vv)
+            ww = jnp.where(r, self._tri(w, d, "w"), ww)
+            Ta = jnp.where(r, self._tri(thl, d, "c"), Ta)
         return uu, vv, ww, Ta
+
+    @staticmethod
+    def _tri(f, d, key):
+        """Trilinear interpolation as a static 8-corner gather
+        (trilinear_interp_var, modibm.f90:1609-1660)."""
+        idx = d[f"rci_{key}"]
+        return jnp.sum(f[idx[..., 0], idx[..., 1], idx[..., 2]]
+                       * d[f"rcw_{key}"], axis=-1)
 
     def _local_stress(self, which, c, grid, cfg):
         """Per-section tangential stress pieces shared by mom/heat paths."""
@@ -383,6 +514,8 @@ class IBM:
         if cfg.physics.lmoist and fac is not None and cfg.walls.iwallmoist == 2:
             lGR = jnp.asarray(self.faclGR_dev)[d["fac"]]
             qtair = c.qt[d["i"], d["jj"], d["k"]]
+            if "rec" in d:
+                qtair = jnp.where(d["rec"], self._tri(c.qt, d, "c"), qtair)
             qwall = fac.qsat[d["fac"]]
             hurel = fac.hurel[d["fac"]]
             resa = 1.0 / jnp.maximum(htc * jnp.abs(utan), 1e-10)
