@@ -48,6 +48,8 @@ class FacetState:
     f: Any        # (nfcts, 5) resistance factors (facf)
     tnextEB: Any  # scalar: next EB fire time
     tEB_last: Any # scalar: time of last EB solve
+    dense: Any = None  # dense per-staggered-grid surface-param stacks
+                       # (IBM.rebuild_dense_surf); rebuilt on each EB fire
 
 
 class FacetEB:
@@ -177,8 +179,10 @@ class FacetEB:
             vf = np.array(f.variables["view factor"][:]).T
             f.close()
         faca = ibm.faca
-        return cls(cfg, facets, facnorm, faca, facem, facd, faccp, faclam,
-                   faclGR, vf, vf_sparse, svf, netsw, Tfacinit, dtype)
+        obj = cls(cfg, facets, facnorm, faca, facem, facd, faccp, faclam,
+                  faclGR, vf, vf_sparse, svf, netsw, Tfacinit, dtype)
+        obj.ibm = ibm
+        return obj
 
     def initial_state(self) -> FacetState:
         nf = self.nfcts
@@ -189,11 +193,16 @@ class FacetEB:
         hurel = jnp.where(self.faclGR, hurel, 0.0).astype(self.dtype)
         f = jnp.zeros((nf, 5), self.dtype)
         f = f.at[:, 3].set(200.0).at[:, 4].set(50.0)  # initfac.f90:134
+        qsat0 = qsat_fn(self.T0[:, 0]).astype(self.dtype)
+        dense = None
+        if getattr(self, "ibm", None) is not None:
+            dense = self.ibm.rebuild_dense_surf(self.T0[:, 0], qsat0,
+                                                hurel, f)
         return FacetState(
             T=self.T0, hfi=z, efi=z, wsoil=wsoil, hurel=hurel,
-            qsat=qsat_fn(self.T0[:, 0]).astype(self.dtype), f=f,
+            qsat=qsat0, f=f,
             tnextEB=jnp.asarray(self.cfg.eb.dtEB, self.dtype),
-            tEB_last=jnp.asarray(0.0, self.dtype))
+            tEB_last=jnp.asarray(0.0, self.dtype), dense=dense)
 
     # -- physics -----------------------------------------------------------
     def calclw(self, T, skyLW=None):
@@ -210,7 +219,7 @@ class FacetEB:
         return (lw + self.svf * skyLW) * self.facem
 
     def update(self, fstate: FacetState, timee, skyLW=None,
-               netsw=None) -> FacetState:
+               netsw=None, dense_tbl=None) -> FacetState:
         """One EB solve (modEB.f90:429-541). skyLW/netsw may be
         time-interpolated overrides (modtimedep timedeplw/timedepsw)."""
         cfg = self.cfg
@@ -271,18 +280,23 @@ class FacetEB:
         Tnew = jnp.linalg.solve(HHs, rhs[..., None])[..., 0]
         Tnew = jnp.where(self.model_mask[:, None], Tnew, fstate.T)
 
+        qsat_new = qsat_fn(Tnew[:, 0]).astype(fstate.qsat.dtype)
+        dense = fstate.dense
+        if getattr(self, "ibm", None) is not None and dense is not None:
+            dense = self.ibm.rebuild_dense_surf(Tnew[:, 0], qsat_new,
+                                                hurel, f, dense=dense_tbl)
         return FacetState(
             T=Tnew, hfi=jnp.zeros_like(fstate.hfi),
             efi=jnp.zeros_like(fstate.efi), wsoil=wsoil, hurel=hurel,
-            qsat=qsat_fn(Tnew[:, 0]).astype(fstate.qsat.dtype), f=f,
+            qsat=qsat_new, f=f,
             tnextEB=jnp.round(timee + cfg.eb.dtEB).astype(fstate.tnextEB.dtype),
-            tEB_last=timee.astype(fstate.tEB_last.dtype))
+            tEB_last=timee.astype(fstate.tEB_last.dtype), dense=dense)
 
     def maybe_update(self, fstate: FacetState, timee, skyLW=None,
-                     netsw=None) -> FacetState:
+                     netsw=None, dense_tbl=None) -> FacetState:
         """lax.cond-gated EB fire (modEB.f90:429)."""
         return jax.lax.cond(
             timee >= fstate.tnextEB,
-            lambda fs: self.update(fs, timee, skyLW, netsw),
+            lambda fs: self.update(fs, timee, skyLW, netsw, dense_tbl),
             lambda fs: fs,
             fstate)

@@ -156,7 +156,7 @@ class IBM:
     def __init__(self, cfg: Config, grid: Grid, masks: Masks,
                  sec_u: SecData, sec_v: SecData, sec_w: SecData,
                  sec_c: SecData, facnorm, facz0, facz0h, facT, faca,
-                 bndpts_c: Optional[np.ndarray] = None):
+                 bndpts_c: Optional[np.ndarray] = None, faclGR=None):
         self.cfg = cfg
         self.grid = grid
         self.masks = masks
@@ -168,7 +168,8 @@ class IBM:
         self.faca = faca
         self.nfcts = len(facz0)
         self.bndpts_c = bndpts_c
-        self.faclGR_dev = np.zeros(self.nfcts, bool)
+        self.faclGR_dev = (np.asarray(faclGR, bool) if faclGR is not None
+                           else np.zeros(self.nfcts, bool))
         self._prep()
 
     # ------------------------------------------------------------------
@@ -257,21 +258,38 @@ class IBM:
                       v=jnp.asarray(mask_v, grid.dtype),
                       w=jnp.asarray(mask_w, grid.dtype),
                       c=jnp.asarray(mask_c, grid.dtype))
-        obj = cls(cfg, grid, masks, sec_u, sec_v, sec_w, sec_c,
-                  facnorm, facz0, facz0h, facT, faca, bndpts_c)
-        obj.faclGR_dev = np.array(
+        faclGR = np.array(
             [abs(typemap[int(t)][1] - 1.0) < 1e-5 for t in walltype])
-        return obj
+        return cls(cfg, grid, masks, sec_u, sec_v, sec_w, sec_c,
+                   facnorm, facz0, facz0h, facT, faca, bndpts_c,
+                   faclGR=faclGR)
 
     def _prep(self):
-        """Device-resident gathered per-section constants."""
+        """Precompute the runtime layouts.
+
+        TPU note: on this hardware every gather/scatter HLO carries a large
+        fixed dispatch cost (measured ~0.55 ms regardless of index count), so
+        the wall-function hot path is laid out DENSELY: each staggered grid
+        gets `K = max sections per cell` stacked parameter fields shaped
+        (K, nx, ny, nz[+1]) and the whole of wallfunmom/wallfunheat
+        (modibm.f90:1286-1606) becomes masked vector arithmetic with zero
+        runtime gathers.  Only reconstruction-point sections (rare; none in
+        the shipped examples) stay on the sparse gather path in `self.dev`.
+        """
         g = self.grid
         self.dev = {}
+        self.dense = {}
         for name, s in self.sec.items():
             if len(s.fac) == 0:
                 self.dev[name] = None
+                self.dense[name] = None
                 continue
-            act = s.active
+            rec = s.rec if s.rec is not None else np.zeros(len(s.fac), bool)
+            act = s.active & rec          # sparse path: rec sections only
+            self.dense[name] = self._build_dense(name, s, s.active & ~rec)
+            if not act.any():
+                self.dev[name] = None
+                continue
             d = dict(
                 i=jnp.asarray(s.ijk[act, 0], jnp.int32),
                 jj=jnp.asarray(s.ijk[act, 1], jnp.int32),
@@ -284,12 +302,113 @@ class IBM:
                 z0h=jnp.asarray(self.facz0h[s.fac[act]], g.dtype),
             )
             # reconstruction-point gather tables (static; see module doc)
-            if s.rec is not None and s.rec[act].any():
-                d["rec"] = jnp.asarray(s.rec[act])
+            if rec[act].any():
+                d["rec"] = jnp.asarray(rec[act])
                 for key, (idx, wgt) in s.interp.items():
                     d[f"rci_{key}"] = jnp.asarray(idx[act], jnp.int32)
                     d[f"rcw_{key}"] = jnp.asarray(wgt[act], g.dtype)
             self.dev[name] = d
+        # static dense surface temperatures (used whenever no facet-EB state
+        # overrides them); EB runs rebuild these via rebuild_dense_surf
+        self._surf_static = {}
+        for name, dn in self.dense.items():
+            if dn is not None:
+                self._surf_static[name] = dn.pop("tsurf_static")
+        self._prep_pmasks()
+
+    def params(self):
+        """The large static parameter pytree, to be carried in State.ibmp.
+
+        These arrays total O(100 MB)+ and MUST enter jitted functions as
+        arguments — embedding them as closed-over constants blows up the
+        serialized HLO (and the remote-compile payload limit)."""
+        return {"dense": self.dense, "surf": self._surf_static}
+
+    def _build_dense(self, which, s: SecData, act: np.ndarray):
+        """Slot-stacked dense parameter fields for the non-rec sections of
+        one staggered grid (the TPU-native layout of initibmwallfun's
+        per-section lists, modibm.f90:273-383)."""
+        if not act.any():
+            return None
+        g = self.grid
+        nx, ny, nz = g.shape
+        shape = (nx, ny, nz + 1) if which == "w" else (nx, ny, nz)
+        N = int(np.prod(shape))
+        ijk = s.ijk[act]
+        area = s.area[act]
+        dist = s.dist[act]
+        fid = s.fac[act]
+        flat = np.ravel_multi_index((ijk[:, 0], ijk[:, 1], ijk[:, 2]), shape)
+        order = np.argsort(flat, kind="stable")
+        sf = flat[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(sf)) + 1]
+        counts = np.diff(np.r_[starts, len(sf)])
+        within = np.arange(len(sf)) - np.repeat(starts, counts)
+        slot = np.empty(len(sf), np.int64)
+        slot[order] = within
+        K = int(counts.max())
+
+        def densify(vals, pad):
+            a = np.full((K, N), pad, np.float64)
+            a[slot, flat] = vals
+            return jnp.asarray(a.reshape((K,) + shape), g.dtype)
+
+        norms = self.facnorm[fid]
+        z0 = np.maximum(self.facz0[fid], 1e-30)
+        z0h = np.maximum(self.facz0h[fid], 1e-30)
+        kcell = ijk[:, 2] if which != "w" else np.minimum(ijk[:, 2], nz - 1)
+        dzf = np.asarray(g.j("dzf"))
+        vol = g.dx * g.dy * dzf[kcell]
+        logdz = np.log(np.maximum(dist, 1e-30) / z0)
+        d = dict(
+            valid=densify(1.0, 0.0),
+            n0=densify(norms[:, 0], 0.0),
+            n1=densify(norms[:, 1], 0.0),
+            n2=densify(norms[:, 2], 0.0),
+            avol=densify(area / vol, 0.0),
+            dist=densify(dist, 1.0),
+            logdz=densify(logdz, 2.0),
+            logzh=densify(np.log(z0 / z0h), 0.0),
+            sqdz=densify(np.sqrt(np.maximum(dist, 0.0) / z0), 1.0),
+            ctm_neutral=densify((const.fkar / logdz) ** 2, 0.0),
+            tsurf_static=densify(np.asarray(self.facT)[fid], 288.0),
+        )
+        facid_d = np.zeros((K, N), np.int32)
+        facid_d[slot, flat] = fid
+        d["facid"] = jnp.asarray(facid_d.reshape((K,) + shape))
+        if which == "c":
+            dzh = np.asarray(g.j("dzh"))
+            d["awgt"] = densify(area / (g.dx * g.dy * dzh[ijk[:, 2]]), 0.0)
+            d["areaK"] = densify(area, 0.0)
+            d["lGR"] = densify(self.faclGR_dev[fid].astype(np.float64), 0.0)
+            # per-section flat indices into the (K,)+shape flux stack — used
+            # only for the per-facet EB flux sums (one gather + one
+            # segment_sum, gated to the EB substep)
+            d["_hsec_idx"] = jnp.asarray(slot * N + flat, jnp.int32)
+            d["_hsec_fac"] = jnp.asarray(fid, jnp.int32)
+            d["_hsec_area"] = jnp.asarray(area, g.dtype)
+        return d
+
+    def rebuild_dense_surf(self, T1, qsat=None, hurel=None, f=None,
+                           dense=None):
+        """Dense surface-parameter stacks from evolving facet state (fired
+        from the EB update; the gathers here are amortized over the dtEB
+        interval)."""
+        dense = dense if dense is not None else self.dense
+        out = {}
+        for which, dn in dense.items():
+            if dn is not None:
+                out[which] = T1[dn["facid"]].astype(T1.dtype)
+        dnc = dense.get("c")
+        if dnc is not None and qsat is not None:
+            fid = dnc["facid"]
+            out["qwall"] = qsat[fid]
+            out["hurel"] = hurel[fid]
+            out["resc"] = f[:, 3][fid]
+            out["ress"] = f[:, 4][fid]
+        return out
+
+    def _prep_pmasks(self):
         # padded masks for neighbour logic (periodic x/y; k ghosts: bottom
         # solid, top fluid — modibm.f90:156-159)
         def padm(m, wface=False):
@@ -318,25 +437,56 @@ class IBM:
     # Wall functions (ibmwallfun)
     # ------------------------------------------------------------------
     def wallfun(self, g, c, grid: Grid, cfg: Config,
-                du, dv, dw, dthl, dqt, dsv, fac=None, bctf=None):
+                du, dv, dw, dthl, dqt, dsv, fac=None, bctf=None,
+                need_fac: bool = False, ibmp=None):
         """Facet-section wall stresses + heat fluxes + diffusion corrections
-        (modibm.f90:1167-1283). Returns tendencies + per-facet sensible and
-        latent flux sums (fachf/facef, consumed by the EB)."""
+        (modibm.f90:1167-1283).
+
+        Returns tendencies + per-facet flux sums fachf/facef ((nfcts,) or
+        None unless `need_fac`) + domain-total sensible/latent wall fluxes
+        hf_tot/ef_tot (always; for periodicEBcorr).  Hot path is fully dense
+        (see `_prep`); the sparse path only covers reconstruction-point
+        sections."""
         facT = fac.T[:, 0] if fac is not None else self.facT
-        nf0 = jnp.zeros(self.nfcts, c.u.dtype)
-        fachf, facef = nf0, nf0
+        ibmp = ibmp if ibmp is not None else self.params()
+        dense = ibmp["dense"]
+        surf = (fac.dense if fac is not None
+                and getattr(fac, "dense", None) is not None
+                else ibmp["surf"])
+        fachf = facef = None
+        zt = jnp.zeros((), c.u.dtype)
+        hf_tot, ef_tot = zt, zt
         if cfg.walls.iwallmom > 1:
-            du = du + self._wallfunmom("u", c, grid, cfg, facT)
-            dv = dv + self._wallfunmom("v", c, grid, cfg, facT)
-            dw = dw + self._wallfunmom("w", c, grid, cfg, facT)
+            du = du + self._wallfunmom_dense("u", g, cfg, surf, dense)
+            dv = dv + self._wallfunmom_dense("v", g, cfg, surf, dense)
+            dw = dw + self._wallfunmom_dense("w", g, cfg, surf, dense)
+            for which, add in (("u", 0), ("v", 1), ("w", 2)):
+                if self.dev[which] is not None:
+                    t = self._wallfunmom(which, c, grid, cfg, facT)
+                    if add == 0:
+                        du = du + t
+                    elif add == 1:
+                        dv = dv + t
+                    else:
+                        dw = dw + t
         du = du + self._diffu_corr(g, grid)
         dv = dv + self._diffv_corr(g, grid)
         dw = dw + self._diffw_corr(g, grid)
         if cfg.physics.ltempeq or cfg.physics.lmoist:
-            hthl, hqt, fachf, facef = self._wallfunheat(
-                c, grid, cfg, facT, fac, bctf)
+            hthl, hqt, hf_tot, ef_tot, fachf, facef = self._wallfunheat_dense(
+                g, c, cfg, surf, dense, fac, bctf, need_fac)
             dthl = dthl + hthl
             dqt = dqt + hqt
+            if self.dev["c"] is not None:
+                sthl, sqt, sfhf, sfef = self._wallfunheat(
+                    c, grid, cfg, facT, fac, bctf)
+                dthl = dthl + sthl
+                dqt = dqt + sqt
+                hf_tot = hf_tot + jnp.sum(sfhf)
+                ef_tot = ef_tot + jnp.sum(sfef)
+                if need_fac:
+                    fachf = fachf + sfhf
+                    facef = facef + sfef
             if cfg.physics.ltempeq:
                 dthl = dthl + self._diffc_corr(g.thl, g.ekh, grid)
             if cfg.physics.lmoist:
@@ -345,7 +495,200 @@ class IBM:
             gsv1 = jax.vmap(lambda s: s[1:-1, 1:-1, 1:-1])(g.sv)
             dsv = dsv + jax.vmap(
                 lambda gc: self._diffc_corr(gc, g.ekh, grid))(gsv1)
-        return du, dv, dw, dthl, dqt, dsv, fachf, facef
+        return du, dv, dw, dthl, dqt, dsv, fachf, facef, hf_tot, ef_tot
+
+    # -- dense hot path ---------------------------------------------------
+    def _dense_uvwT(self, which, g, grid: Grid):
+        """Dense interpolated velocity vector + air temperature at every
+        point of one staggered grid (the stencil form of
+        interp_velocity_*/interp_temperature_*, modibm.f90:1737-1829)."""
+        from functools import partial
+        from ..ops.stencil import sh
+        nx, ny, nz = grid.shape
+        S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+        W = lambda di, dj, dk: g.w[1 + di: 1 + di + nx,
+                                   1 + dj: 1 + dj + ny, dk: dk + nz]
+        Mc = self.pmask_c
+        thl = g.thl if g.thl is not None else None
+
+        def Tpair(t0, t1, m0, m1):
+            if thl is None:
+                return jnp.full_like(m0, 288.0)
+            return 0.5 * (t0 * m0 * (2.0 - m1) + t1 * m1 * (2.0 - m0))
+
+        if which == "u":
+            uu = S(g.u, 0, 0, 0)
+            vv = 0.25 * (S(g.v, 0, 0, 0) + S(g.v, 0, 1, 0)
+                         + S(g.v, -1, 0, 0) + S(g.v, -1, 1, 0))
+            ww = 0.25 * (W(0, 0, 0) + W(0, 0, 1) + W(-1, 0, 0) + W(-1, 0, 1))
+            Ta = Tpair(S(thl, 0, 0, 0) if thl is not None else None,
+                       S(thl, -1, 0, 0) if thl is not None else None,
+                       S(Mc, 0, 0, 0), S(Mc, -1, 0, 0))
+        elif which == "v":
+            uu = 0.25 * (S(g.u, 0, 0, 0) + S(g.u, 1, 0, 0)
+                         + S(g.u, 0, -1, 0) + S(g.u, 1, -1, 0))
+            vv = S(g.v, 0, 0, 0)
+            ww = 0.25 * (W(0, 0, 0) + W(0, 0, 1) + W(0, -1, 0) + W(0, -1, 1))
+            Ta = Tpair(S(thl, 0, 0, 0) if thl is not None else None,
+                       S(thl, 0, -1, 0) if thl is not None else None,
+                       S(Mc, 0, 0, 0), S(Mc, 0, -1, 0))
+        elif which == "w":
+            # face-shaped (nx, ny, nz+1): cell kc=min(k,nz-1), kmc=max(k-1,0)
+            ext_top = lambda X: jnp.concatenate([X, X[:, :, -1:]], axis=2)
+            ext_bot = lambda X: jnp.concatenate([X[:, :, :1], X], axis=2)
+            uu_c = 0.25 * (S(g.u, 0, 0, 0) + S(g.u, 1, 0, 0)
+                           + S(g.u, 0, -1, 0) + S(g.u, 1, -1, 0))
+            uu = ext_top(uu_c)
+            vv = ext_top(S(g.v, 0, 0, 0))
+            wfull = lambda di, dj: g.w[1 + di: 1 + di + nx,
+                                       1 + dj: 1 + dj + ny, :]
+            w0 = wfull(0, 0)
+            wjm = wfull(0, -1)
+            wkp = jnp.concatenate([w0[:, :, 1:], w0[:, :, -1:]], axis=2)
+            wjmkp = jnp.concatenate([wjm[:, :, 1:], wjm[:, :, -1:]], axis=2)
+            ww = 0.25 * (w0 + wkp + wjm + wjmkp)
+            m_kc = ext_top(S(Mc, 0, 0, 0))
+            m_kmc = ext_bot(S(Mc, 0, 0, 0))
+            if thl is None:
+                Ta = jnp.full_like(m_kc, 288.0)
+            else:
+                t = S(thl, 0, 0, 0)
+                Ta = Tpair(ext_top(t), ext_bot(t), m_kc, m_kmc)
+        else:  # c
+            uu = 0.5 * (S(g.u, 0, 0, 0) + S(g.u, 1, 0, 0))
+            vv = 0.5 * (S(g.v, 0, 0, 0) + S(g.v, 0, 1, 0))
+            ww = 0.5 * (W(0, 0, 0) + W(0, 0, 1))
+            Ta = (S(thl, 0, 0, 0) if thl is not None
+                  else jnp.full((nx, ny, nz), 288.0, g.u.dtype))
+        return uu, vv, ww, Ta
+
+    @staticmethod
+    def _dense_tangent(dn, uu, vv, ww):
+        """Per-slot streamwise unit vector + tangential speed (the cross
+        products of wallfunmom, modibm.f90:1330-1350) by broadcasting the
+        (X,Y,Z) velocity fields against the (K,X,Y,Z) facet normals."""
+        n0, n1, n2 = dn["n0"], dn["n1"], dn["n2"]
+        sx = n1 * ww - n2 * vv
+        sy = n2 * uu - n0 * ww
+        sz = n0 * vv - n1 * uu
+        sn = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        ok = sn > const.eps1
+        sni = 1.0 / jnp.maximum(sn, const.eps1)
+        sx, sy, sz = sx * sni, sy * sni, sz * sni
+        tx = sy * n2 - sz * n1
+        ty = sz * n0 - sx * n2
+        tz = sx * n1 - sy * n0
+        utan = tx * uu + ty * vv + tz * ww
+        return (tx, ty, tz), utan, ok
+
+    def _wallfunmom_dense(self, which, g, cfg: Config, surf, dense):
+        """Dense wallfunmom (modibm.f90:1286-1433): K-slot masked arithmetic,
+        no gathers/scatters."""
+        grid = self.grid
+        nx, ny, nz = grid.shape
+        dtype = g.u.dtype
+        shape = (nx, ny, nz + 1) if which == "w" else (nx, ny, nz)
+        dn = dense[which]
+        if dn is None:
+            return jnp.zeros(shape, dtype)
+        uu, vv, ww, Ta = self._dense_uvwT(which, g, grid)
+        (tx, ty, tz), utan, ok = self._dense_tangent(dn, uu, vv, ww)
+        if cfg.walls.iwallmom == 2:
+            ctm = _mom_coef_stability_pre(
+                utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
+                Ta, surf[which])
+        else:
+            ctm = dn["ctm_neutral"]
+        stress = ctm * utan * utan
+        a = {"u": tx, "v": ty, "w": tz}[which]
+        ua = {"u": uu, "v": vv, "w": ww}[which]
+        stress_dir = jnp.sign(ua) * jnp.abs(a * stress)
+        contrib = jnp.where(ok & (dn["valid"] > 0.0),
+                            -stress_dir * dn["avol"], 0.0)
+        return jnp.sum(contrib, axis=0).astype(dtype)
+
+    def _wallfunheat_dense(self, g, c, cfg: Config, surf, dense, fac, bctf,
+                           need_fac):
+        """Dense wallfunheat (modibm.f90:1436-1606). Returns
+        (dthl, dqt, hf_tot, ef_tot, fachf, facef)."""
+        grid = self.grid
+        nx, ny, nz = grid.shape
+        dtype = c.thl.dtype
+        zfld = jnp.zeros((nx, ny, nz), dtype)
+        zt = jnp.zeros((), dtype)
+        nf0 = jnp.zeros(self.nfcts, dtype) if need_fac else None
+        dn = dense["c"]
+        if dn is None:
+            return zfld, zfld, zt, zt, nf0, nf0
+        uu, vv, ww, Ta = self._dense_uvwT("c", g, grid)
+        _, utan, ok = self._dense_tangent(dn, uu, vv, ww)
+        valid = ok & (dn["valid"] > 0.0)
+        dthl, dqt = zfld, zfld
+        hf_tot, ef_tot = zt, zt
+        fachf, facef = nf0, nf0
+        fl = None
+        mfl = None
+        htc = jnp.zeros_like(utan)
+        if cfg.physics.ltempeq:
+            if cfg.walls.iwalltemp == 1:
+                # fixed flux per orientation (modibm.f90:1519-1535; the
+                # reference assigns bctfxm for -yhat too — kept)
+                if bctf is None:
+                    bxm, bxp, bym, byp, bz = (cfg.bc.bctfxm, cfg.bc.bctfxp,
+                                              cfg.bc.bctfym, cfg.bc.bctfyp,
+                                              cfg.bc.bctfz)
+                else:
+                    bxm, bxp, bym, byp, bz = bctf
+                n0, n1, n2 = dn["n0"], dn["n1"], dn["n2"]
+                e = const.eps1
+                flux = jnp.where(jnp.abs(n0 - 1) < e, bxp,
+                        jnp.where(jnp.abs(n0 + 1) < e, bxm,
+                        jnp.where(jnp.abs(n1 - 1) < e, byp,
+                        jnp.where(jnp.abs(n1 + 1) < e, bxm,
+                        jnp.where(jnp.abs(n2 - 1) < e, bz, 0.0)))))
+                flux = flux * jnp.ones_like(utan)
+            else:
+                _, flux, htc = _heat_coef_flux_pre(
+                    utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
+                    Ta, surf["c"])
+            fl = jnp.where(valid, flux, 0.0)
+            dthl = -jnp.sum(fl * dn["awgt"], axis=0).astype(dtype)
+            hf_tot = jnp.sum(fl * dn["areaK"]).astype(dtype)
+
+        # latent heat on green-roof facets (modibm.f90:1555-1589)
+        if (cfg.physics.lmoist and fac is not None
+                and cfg.walls.iwallmoist == 2 and "qwall" in surf):
+            qtair = 0.0 * utan + g.qt[1:-1, 1:-1, 1:-1]
+            qwall, hurel = surf["qwall"], surf["hurel"]
+            resa = 1.0 / jnp.maximum(htc * jnp.abs(utan), 1e-10)
+            resc, ress = surf["resc"], surf["ress"]
+            cveg = 0.8
+            mflux = jnp.minimum(
+                0.0, cveg * (qtair - qwall) / (resa + resc)
+                + (1.0 - cveg) * (qtair - qwall * hurel) / (resa + ress))
+            mfl = jnp.where(valid & (dn["lGR"] > 0.0)
+                            & (htc * jnp.abs(utan) > 0.0), mflux, 0.0)
+            dqt = -jnp.sum(mfl * dn["awgt"], axis=0).astype(dtype)
+            ef_tot = jnp.sum(mfl * dn["areaK"]).astype(dtype)
+
+        if need_fac:
+            # per-facet sums for the EB: one gather + one segment_sum,
+            # amortized (only fires on the accumulation substep)
+            vals = []
+            segs = []
+            if fl is not None:
+                vals.append(fl.ravel()[dn["_hsec_idx"]] * dn["_hsec_area"])
+                segs.append(dn["_hsec_fac"])
+            if mfl is not None:
+                vals.append(mfl.ravel()[dn["_hsec_idx"]] * dn["_hsec_area"])
+                segs.append(dn["_hsec_fac"] + self.nfcts)
+            if vals:
+                tot = jax.ops.segment_sum(
+                    jnp.concatenate(vals), jnp.concatenate(segs),
+                    num_segments=2 * self.nfcts)
+                fachf = tot[:self.nfcts].astype(dtype)
+                facef = tot[self.nfcts:].astype(dtype)
+        return dthl, dqt, hf_tot, ef_tot, fachf, facef
 
     def _gather_uvw(self, which, c, grid):
         """Interpolated velocity vector + air temperature at the active
@@ -808,16 +1151,14 @@ def _fm_fh(Ribl, logdz, sqdz, fkar2):
     return jnp.where(stable, Fm_s, Fm_u), jnp.where(stable, Fm_s, Fh_u)
 
 
-def _mom_coef_stability(utan, dist, z0, z0h, Tair, Tsurf,
-                        prandtlturb=const.prandtlmol):
-    """mom_transfer_coef_stability (modibm.f90:1855-1903)."""
+def _mom_coef_stability_pre(utan, dist, logdz, logzh, sqdz, Tair, Tsurf,
+                            prandtlturb=const.prandtlmol):
+    """mom_transfer_coef_stability (modibm.f90:1855-1903) with the static
+    log/sqrt terms precomputed (they depend only on facet geometry)."""
     fkar2 = const.fkar ** 2
     dT = Tair - Tsurf
     utan2 = jnp.maximum(utan ** 2, UMIN)
     Ribl0 = const.grav * dist * dT / (Tsurf * utan2)
-    logdz = jnp.log(dist / z0)
-    logzh = jnp.log(z0 / z0h)
-    sqdz = jnp.sqrt(dist / z0)
     Fm, Fh = _fm_fh(Ribl0, logdz, sqdz, fkar2)
     M = prandtlturb * logdz * jnp.sqrt(Fm) / Fh
     Ribl1 = Ribl0 - Ribl0 * prandtlturb * logzh / (prandtlturb * logzh + M)
@@ -825,17 +1166,22 @@ def _mom_coef_stability(utan, dist, z0, z0h, Tair, Tsurf,
     return fkar2 / (logdz ** 2) * Fm1
 
 
-def _heat_coef_flux(utan, dist, z0, z0h, Tair, Tsurf,
-                    prandtlturb=const.prandtlmol):
-    """heat_transfer_coef_flux (modibm.f90:1919-1985). Returns
-    (cth, flux, htc)."""
+def _mom_coef_stability(utan, dist, z0, z0h, Tair, Tsurf,
+                        prandtlturb=const.prandtlmol):
+    """mom_transfer_coef_stability (modibm.f90:1855-1903)."""
+    return _mom_coef_stability_pre(
+        utan, dist, jnp.log(dist / z0), jnp.log(z0 / z0h),
+        jnp.sqrt(dist / z0), Tair, Tsurf, prandtlturb)
+
+
+def _heat_coef_flux_pre(utan, dist, logdz, logzh, sqdz, Tair, Tsurf,
+                        prandtlturb=const.prandtlmol):
+    """heat_transfer_coef_flux (modibm.f90:1919-1985) with static log terms
+    precomputed. Returns (cth, flux, htc)."""
     fkar2 = const.fkar ** 2
     dT = Tair - Tsurf
     utan2 = jnp.maximum(utan ** 2, UMIN)
     Ribl0 = const.grav * dist * dT / (Tsurf * utan2)
-    logdz = jnp.log(dist / z0)
-    logzh = jnp.log(z0 / z0h)
-    sqdz = jnp.sqrt(dist / z0)
     Fm, Fh = _fm_fh(Ribl0, logdz, sqdz, fkar2)
     M = prandtlturb * logdz * jnp.sqrt(Fm) / Fh
     Ribl1 = Ribl0 - Ribl0 * prandtlturb * logzh / (prandtlturb * logzh + M)
@@ -848,6 +1194,15 @@ def _heat_coef_flux(utan, dist, z0, z0h, Tair, Tsurf,
     htc = jnp.where(jnp.abs(denom) > 0, flux / jnp.where(
         jnp.abs(denom) > 0, denom, 1.0), 0.0)
     return cth, flux, htc
+
+
+def _heat_coef_flux(utan, dist, z0, z0h, Tair, Tsurf,
+                    prandtlturb=const.prandtlmol):
+    """heat_transfer_coef_flux (modibm.f90:1919-1985). Returns
+    (cth, flux, htc)."""
+    return _heat_coef_flux_pre(
+        utan, dist, jnp.log(dist / z0), jnp.log(z0 / z0h),
+        jnp.sqrt(dist / z0), Tair, Tsurf, prandtlturb)
 
 
 def _alignment(norms: np.ndarray) -> np.ndarray:

@@ -118,12 +118,20 @@ class Model:
             f = dataclasses.replace(f, bx=init_xplanes(f, grid))
         fac = self.eb.initial_state() if self.eb is not None else None
         st = initial_state(grid, f, dt0=dt0, fac=fac)
+        st = self.attach_params(st)
         if cfg.physics.ifixuinf == 2:
             from .state import Ctl
             z = jnp.zeros((), grid.dtype)
             uref = cfg.bc.Vinf if cfg.physics.lvinf else cfg.bc.Uinf
             st = st.replace(ctl=Ctl(freestreamav=z + uref, dgdt=z,
                                     dpdx_shift=z))
+        return st
+
+    def attach_params(self, st: State) -> State:
+        """Attach the static IBM dense-parameter pytree (State.ibmp) so the
+        large arrays ride through jit as arguments (see IBM.params)."""
+        if self.ibm is not None and st.ibmp is None:
+            st = st.replace(ibmp=self.ibm.params())
         return st
 
     # -- one RK3 substep ---------------------------------------------------
@@ -276,11 +284,14 @@ class Model:
         bctf = (self.timedep.surf_fluxes(state.timee)
                 if self.timedep is not None else None)
         if self.ibm is not None:
-            du, dv, dw, dthl, dqt, dsv, fachf, facef = self.ibm.wallfun(
-                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac, bctf)
+            need_fac = fac is not None and rk3step == 3
+            (du, dv, dw, dthl, dqt, dsv, fachf, facef, hf_tot,
+             ef_tot) = self.ibm.wallfun(
+                g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac, bctf,
+                need_fac=need_fac, ibmp=state.ibmp)
             # intqH (modEB.f90:220-247): accumulate facet fluxes in time on
             # the last substep
-            if fac is not None and rk3step == 3:
+            if need_fac:
                 fac = dataclasses.replace(
                     fac, hfi=fac.hfi + dt * fachf,
                     efi=fac.efi + dt * facef)
@@ -288,7 +299,7 @@ class Model:
             if cfg.eb.lperiodicEBcorr:
                 from .ops.forces import periodic_eb_corr
                 pthl, pqt = periodic_eb_corr(
-                    grid, cfg, jnp.sum(fachf), jnp.sum(facef), du.dtype)
+                    grid, cfg, hf_tot, ef_tot, du.dtype)
                 if ltemp:
                     dthl = dthl + pthl[None, None, :]
                 if lmoist:
@@ -532,9 +543,11 @@ class Model:
             if self.timedep is not None:
                 skyLW = self.timedep.sky_lw(state.timee)
                 netsw = self.timedep.net_sw(state.timee)
+            dense_tbl = state.ibmp["dense"] if state.ibmp is not None else None
             state = state.replace(
                 fac=self.eb.maybe_update(state.fac, state.timee,
-                                         skyLW=skyLW, netsw=netsw))
+                                         skyLW=skyLW, netsw=netsw,
+                                         dense_tbl=dense_tbl))
         return state
 
     def run(self, state: State, nsteps: int) -> State:

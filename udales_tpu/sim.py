@@ -300,6 +300,7 @@ def main(argv=None):
             sdir = sdir if sdir.exists() else case
             state = warmstart_state(sdir, model.cfg.run.startfile, exp,
                                     model.cfg, model.grid)
+        state = model.attach_params(state)
         print(f"warmstart from {model.cfg.run.startfile} "
               f"t={float(state.timee):.2f}", flush=True)
     final = sim.run(state, runtime=args.runtime, seed=args.seed)

@@ -54,6 +54,9 @@ class State:
     timee: Any       # elapsed simulation time (traced scalar)
     fac: Any = None  # FacetState for energy-balance runs (ibm/eb.py)
     ctl: Any = None  # Controller state (ifixuinf=2 free-stream controller)
+    ibmp: Any = None  # static IBM dense wall-function parameter stacks
+                      # (IBM.params()); carried in State so the large arrays
+                      # enter jit as arguments, not embedded HLO constants
 
     def replace(self, **kw):
         return replace(self, **kw)
