@@ -116,6 +116,73 @@ class TestPoisson:
         assert np.allclose(ps, p0, atol=1e-8), np.abs(ps - p0).max()
 
 
+class TestPoissonFFT3D:
+    def test_periodic_laplacian_inverse(self):
+        """POISS_FFT3D (modpois.f90:808-882) inverts the fully periodic
+        discrete Laplacian."""
+        import dataclasses
+        from udales_tpu.config import POISS_FFT3D
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg, dynamics=dataclasses.replace(cfg.dynamics,
+                                              ipoiss=POISS_FFT3D))
+        d = cfg.domain
+        grid = Grid.uniform(d.itot, d.jtot, d.ktot, d.xlen, d.ylen, 8.0,
+                            dtype=np.float64)
+        pois = PoissonSolver(grid, cfg)
+        assert pois.fft3d
+        rng = np.random.default_rng(5)
+        p = jnp.asarray(rng.standard_normal(grid.shape))
+        p = p - jnp.mean(p)
+
+        def laplacian3(p):
+            lap = jnp.zeros_like(p)
+            for ax, ci in ((0, grid.dx2i), (1, grid.dy2i),
+                           (2, float(grid.dzfi[0]) ** 2)):
+                lap += (jnp.roll(p, -1, ax) - 2 * p + jnp.roll(p, 1, ax)) * ci
+            return lap
+
+        rhs = laplacian3(p)
+        ps = pois.solve(rhs)
+        ps = ps - jnp.mean(ps)
+        assert np.allclose(ps, p, atol=1e-8), np.abs(ps - p).max()
+
+
+class TestLqlnr:
+    def test_newton_raphson_matches_analytic(self):
+        """lqlnr NR iteration (modthermodynamics.f90:449-476) agrees with
+        the all-or-nothing closed form away from the saturation boundary."""
+        from udales_tpu.ops.thermo import ql_sat_adjust
+        rng = np.random.default_rng(7)
+        thl = jnp.asarray(285.0 + 10 * rng.random((4, 4, 8)))
+        pressure = jnp.full((4, 4, 8), 101325.0)
+        exner = jnp.full((4, 4, 8), 1.0)
+        # strongly sub-saturated: both give exactly zero
+        qt_dry = jnp.full((4, 4, 8), 1e-4)
+        assert np.all(np.asarray(
+            ql_sat_adjust(thl, qt_dry, pressure, exner, True)) == 0.0)
+        # super-saturated: both positive, close to each other
+        qt_wet = jnp.full((4, 4, 8), 0.03)
+        ql_nr = np.asarray(ql_sat_adjust(thl, qt_wet, pressure, exner, True))
+        ql_an = np.asarray(ql_sat_adjust(thl, qt_wet, pressure, exner, False))
+        assert (ql_nr > 0).all()
+        # the exact NR solve condenses LESS than the linearized form (latent
+        # heating raises T and qsat); they agree to O(ql^2)
+        assert (ql_nr <= ql_an + 1e-12).all()
+        assert np.allclose(ql_nr, ql_an, atol=5e-3), np.abs(ql_nr - ql_an).max()
+        # just above saturation the two coincide tightly
+        from udales_tpu.config import const
+        es = const.es0 * np.exp(const.at * (np.asarray(thl) - const.tmelt)
+                                / (np.asarray(thl) - const.bt))
+        qsat = const.ep * es / (101325.0 - (1.0 - const.ep) * es)
+        qt_near = jnp.asarray(qsat + 5e-4)
+        ql_nr2 = np.asarray(ql_sat_adjust(thl, qt_near, pressure, exner, True))
+        ql_an2 = np.asarray(ql_sat_adjust(thl, qt_near, pressure, exner,
+                                          False))
+        assert (ql_nr2 > 0).all()
+        assert np.allclose(ql_nr2, ql_an2, atol=5e-5)
+
+
 class TestStep:
     def test_projection_divergence_free(self):
         model = make_model()

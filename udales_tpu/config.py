@@ -86,6 +86,8 @@ class RunConfig:
     nprocx: int = 1           # informational; TPU mesh shape set separately
     nprocy: int = 1
     lwarmstart: bool = False
+    lstratstart: bool = False  # warmstart but re-impose thl/qt from prof.inp
+                               # (modstartup.f90:991-1084)
     startfile: str = ""
     runmode: int = 1
 
@@ -131,6 +133,8 @@ class DynamicsConfig:
     iadv_qt: int = -1
     iadv_sv: int = IADV_KAPPA  # scalars forced to kappa (modglobal.f90:556-560)
     ipoiss: int = POISS_FFT2D
+    lqlnr: bool = False        # Newton-Raphson saturation adjustment
+                               # (modthermodynamics.f90:449-476)
     lles: bool = True
 
 

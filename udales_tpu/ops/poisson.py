@@ -178,8 +178,30 @@ class PoissonSolver:
         # tridiagonal solve. The mean mode differs from the reference's
         # Dirichlet-top pin only by an additive constant in p, which the
         # projection gradient cancels.
-        from ..config import BCTOPM_PRESSURE
-        self.diag_z = (self.per_x and self.per_y
+        from ..config import BCTOPM_PRESSURE, POISS_FFT3D
+        # POISS_FFT3D (modpois.f90:300-320, 808-882): fully periodic in z
+        # too — diagonalized by a plain FFT with periodic z eigenvalues
+        # zrt(k) = -4 dzi^2 sin^2(pi k / ktot) (assumes uniform z).
+        self.fft3d = cfg.dynamics.ipoiss == POISS_FFT3D
+        if self.fft3d:
+            if not (self.per_x and self.per_y):
+                raise ValueError("POISS_FFT3D requires periodic x and y")
+            if not np.allclose(dzf, dzf[0], rtol=1e-12):
+                raise ValueError("POISS_FFT3D assumes an equidistant z grid")
+            dzi = 1.0 / dzf[0]
+            kz = np.arange(nz)
+            zrt = -4.0 * dzi * dzi * np.sin(np.pi * kz / nz) ** 2
+            lam3 = rhobf[None, None, :] * (
+                xrt[:, None, None] + yrt[None, :, None]
+                + zrt[None, None, :])
+            inv = np.where(np.abs(lam3) > 1e-300, 1.0 / np.where(
+                np.abs(lam3) > 1e-300, lam3, 1.0), 0.0)
+            inv[0, 0, 0] = 0.0   # zero mode -> 0 (modpois.f90:869-873)
+            fdt3 = np.float32 if grid.dtype == np.float32 else np.float64
+            self.inv_lam3d = jnp.asarray(inv, fdt3)
+
+        self.diag_z = (not self.fft3d
+                       and self.per_x and self.per_y
                        and np.allclose(dzf, dzf[0], rtol=1e-12)
                        and np.allclose(rhobf, 1.0)
                        and np.allclose(rhobh, 1.0)
@@ -224,6 +246,16 @@ class PoissonSolver:
         xp = self._pencil("x")   # i local (x-pencil): P(None, 'y', 'x')
         yp = self._pencil("y")   # j local (y-pencil): P('x', None, 'y')
         zp = self._pencil("z")   # k local (z-pencil): P('x', 'y', None)
+        if self.fft3d:
+            # fully periodic: rfft(x) -> fft(y) -> fft(z) -> divide -> back
+            F = xp(jnp.fft.rfft(xp(rhs), axis=0))
+            F = yp(jnp.fft.fft(yp(F), axis=1))
+            F = zp(jnp.fft.fft(zp(F.astype(cplx)), axis=2))
+            X = F * self.inv_lam3d
+            X = zp(jnp.fft.ifft(zp(X), axis=2))
+            X = yp(jnp.fft.ifft(yp(X), axis=1))
+            p = xp(jnp.fft.irfft(xp(X), n=self.grid.itot, axis=0))
+            return zp(p).astype(rhs.dtype)
         if self.diag_z:
             # fully diagonal: DCT(z) -> rfft(x) -> fft(y) -> divide -> back
             G = zp(dct2_fast(zp(rhs), axis=2))

@@ -33,14 +33,46 @@ def slab_mean(f):
     return jnp.mean(f, axis=(0, 1))
 
 
-def ql_sat_adjust(thl, qt, pressure, exner):
-    """All-or-nothing liquid water (modthermodynamics.f90:478-501, non-NR)."""
+def ql_sat_adjust(thl, qt, pressure, exner, lqlnr: bool = False):
+    """All-or-nothing liquid water (modthermodynamics.f90:478-501), or the
+    Newton-Raphson temperature iteration when ``lqlnr`` (:449-476)."""
     tl = jnp.maximum(thl * exner, 100.0)
+    if lqlnr:
+        return _ql_newton_raphson(tl, qt, pressure)
     es = const.es0 * jnp.exp(const.at * (tl - const.tmelt) / (tl - const.bt))
     qsl = const.ep * es / (pressure - (1.0 - const.ep) * es)
     b1 = const.rlv ** 2 / (tl ** 2 * const.cp * const.rv)
     qs = qsl * (1.0 + b1 * qt) / (1.0 + b1 * qsl)
     return jnp.maximum(qt - qs, 0.0)
+
+
+def _ql_newton_raphson(tl, qt, pressure):
+    """Vectorized Newton-Raphson saturation temperature
+    (modthermodynamics.f90:449-476): iterate T until the relative update
+    drops below 1e-5 everywhere (the reference converges per point; a
+    global while_loop is at least as accurate)."""
+    def qsat(T):
+        es = const.es0 * jnp.exp(const.at * (T - const.tmelt)
+                                 / (T - const.bt))
+        return const.ep * es / (pressure - (1.0 - const.ep) * es)
+
+    def body(carry):
+        T, _, it = carry
+        qs = qsat(T)
+        Tn = T - (T + (const.rlv / const.cp) * qs - tl
+                  - (const.rlv / const.cp) * qt) \
+            / (1.0 + (const.rlv ** 2 * qs) / (const.rv * const.cp * T ** 2))
+        err = jnp.max(jnp.abs(Tn - T) / Tn)
+        return Tn, err, it + 1
+
+    def cond(carry):
+        _, err, it = carry
+        return (err > 1e-5) & (it < 50)
+
+    T0 = tl
+    T, _, _ = jax.lax.while_loop(
+        cond, body, (T0, jnp.asarray(1.0, tl.dtype), 0))
+    return jnp.maximum(qt - qsat(T), 0.0)
 
 
 @jax.tree_util.register_dataclass
@@ -153,7 +185,7 @@ def thermodynamics(c, cfg: Config, grid: Grid, masks=None) -> ThermoDiag:
         presf, presh, exnf, exnh, _ = hydrostatic_profiles(
             thl0av_e, qt0av_e, jnp.zeros_like(qt0av_e), grid, cfg, thvs, ps)
         ql0 = ql_sat_adjust(c.thl, c.qt, presf[None, None, :nz],
-                            exnf[None, None, :nz])
+                            exnf[None, None, :nz], cfg.dynamics.lqlnr)
         ql0av = ext(avexy_masked(ql0, IIc))
         th0av_e = thl0av_e + (const.rlv / const.cp) * ql0av / exnf
         presf, presh, exnf, exnh, _ = hydrostatic_profiles(
@@ -181,7 +213,7 @@ def thermodynamics(c, cfg: Config, grid: Grid, masks=None) -> ThermoDiag:
 
     if cfg.physics.lmoist:
         ql0h = ql_sat_adjust(thl0h, qt0h, presh[None, None, :],
-                             exnh[None, None, :])
+                             exnh[None, None, :], cfg.dynamics.lqlnr)
         # calthv moist branch (:142-200)
         thv0h = (thl0h + const.rlv * ql0h / (const.cp * exnh[None, None, :])) \
             * (1.0 + (const.rv / const.rd - 1.0) * qt0h

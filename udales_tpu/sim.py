@@ -285,7 +285,8 @@ def main(argv=None):
     print(f"udales_tpu: case {case} grid {model.grid} "
           f"devices {jax.devices()}", flush=True)
     state = None
-    if model.cfg.run.lwarmstart and model.cfg.run.startfile:
+    if ((model.cfg.run.lwarmstart or model.cfg.run.lstratstart)
+            and model.cfg.run.startfile):
         exp = f"{model.cfg.run.iexpnr:03d}"
         if model.cfg.run.startfile.endswith(".h5"):
             # native checkpoint resume
@@ -300,6 +301,19 @@ def main(argv=None):
             sdir = sdir if sdir.exists() else case
             state = warmstart_state(sdir, model.cfg.run.startfile, exp,
                                     model.cfg, model.grid)
+        if model.cfg.run.lstratstart and model.inputs is not None:
+            # lstratstart (modstartup.f90:991-1084): keep the restart
+            # velocities but re-impose the thl/qt profiles from prof.inp
+            import dataclasses
+            import jax.numpy as jnp
+            p = model.inputs.prof
+            nx, ny, nz = model.grid.shape
+            dt_ = model.grid.dtype
+            tile = lambda prof: jnp.broadcast_to(
+                jnp.asarray(prof, dt_)[None, None, :], (nx, ny, nz))
+            thl3, qt3 = tile(p["thl"]), tile(p["qt"])
+            newf = lambda f: dataclasses.replace(f, thl=thl3, qt=qt3)
+            state = state.replace(m=newf(state.m), c=newf(state.c))
         state = model.attach_params(state)
         print(f"warmstart from {model.cfg.run.startfile} "
               f"t={float(state.timee):.2f}", flush=True)
