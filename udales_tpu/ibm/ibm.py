@@ -312,7 +312,7 @@ class IBM:
         # overrides them); EB runs rebuild these via rebuild_dense_surf
         self._surf_static = {}
         for name, dn in self.dense.items():
-            if dn is not None:
+            if dn is not None and "tsurf_static" in dn:
                 self._surf_static[name] = dn.pop("tsurf_static")
         self._prep_pmasks()
 
@@ -360,27 +360,41 @@ class IBM:
         dzf = np.asarray(g.j("dzf"))
         vol = g.dx * g.dy * dzf[kcell]
         logdz = np.log(np.maximum(dist, 1e-30) / z0)
+        cfg = self.cfg
+        # only the parameters the configured physics actually reads are
+        # built — the stacks are O(100 MB) and every extra field costs HBM
+        # bandwidth each substep (padding slots are encoded by avol/awgt=0)
+        need_stab = (cfg.walls.iwallmom == 2 if which != "c"
+                     else (cfg.walls.iwalltemp == 2
+                           or (cfg.physics.lmoist
+                               and cfg.walls.iwallmoist == 2)))
         d = dict(
-            valid=densify(1.0, 0.0),
             n0=densify(norms[:, 0], 0.0),
             n1=densify(norms[:, 1], 0.0),
             n2=densify(norms[:, 2], 0.0),
-            avol=densify(area / vol, 0.0),
-            dist=densify(dist, 1.0),
-            logdz=densify(logdz, 2.0),
-            logzh=densify(np.log(z0 / z0h), 0.0),
-            sqdz=densify(np.sqrt(np.maximum(dist, 0.0) / z0), 1.0),
-            ctm_neutral=densify((const.fkar / logdz) ** 2, 0.0),
-            tsurf_static=densify(np.asarray(self.facT)[fid], 288.0),
         )
-        facid_d = np.zeros((K, N), np.int32)
-        facid_d[slot, flat] = fid
-        d["facid"] = jnp.asarray(facid_d.reshape((K,) + shape))
+        if which != "c":
+            d["avol"] = densify(area / vol, 0.0)
+        if need_stab:
+            d["dist"] = densify(dist, 1.0)
+            d["logdz"] = densify(logdz, 2.0)
+            d["logzh"] = densify(np.log(z0 / z0h), 0.0)
+            d["sqdz"] = densify(np.sqrt(np.maximum(dist, 0.0) / z0), 1.0)
+            d["tsurf_static"] = densify(np.asarray(self.facT)[fid], 288.0)
+        elif which != "c":
+            d["ctm_neutral"] = densify((const.fkar / logdz) ** 2, 0.0)
+        if cfg.eb.lEB:
+            facid_d = np.zeros((K, N), np.int32)
+            facid_d[slot, flat] = fid
+            d["facid"] = jnp.asarray(facid_d.reshape((K,) + shape))
+            if "tsurf_static" not in d:
+                d["tsurf_static"] = densify(np.asarray(self.facT)[fid], 288.0)
         if which == "c":
             dzh = np.asarray(g.j("dzh"))
             d["awgt"] = densify(area / (g.dx * g.dy * dzh[ijk[:, 2]]), 0.0)
-            d["areaK"] = densify(area, 0.0)
-            d["lGR"] = densify(self.faclGR_dev[fid].astype(np.float64), 0.0)
+            if cfg.physics.lmoist and cfg.walls.iwallmoist == 2:
+                d["lGR"] = densify(self.faclGR_dev[fid].astype(np.float64),
+                                   0.0)
             # per-section flat indices into the (K,)+shape flux stack — used
             # only for the per-facet EB flux sums (one gather + one
             # segment_sum, gated to the EB substep)
@@ -397,10 +411,10 @@ class IBM:
         dense = dense if dense is not None else self.dense
         out = {}
         for which, dn in dense.items():
-            if dn is not None:
+            if dn is not None and "facid" in dn:
                 out[which] = T1[dn["facid"]].astype(T1.dtype)
         dnc = dense.get("c")
-        if dnc is not None and qsat is not None:
+        if dnc is not None and "facid" in dnc and qsat is not None:
             fid = dnc["facid"]
             out["qwall"] = qsat[fid]
             out["hurel"] = hurel[fid]
@@ -603,8 +617,8 @@ class IBM:
         a = {"u": tx, "v": ty, "w": tz}[which]
         ua = {"u": uu, "v": vv, "w": ww}[which]
         stress_dir = jnp.sign(ua) * jnp.abs(a * stress)
-        contrib = jnp.where(ok & (dn["valid"] > 0.0),
-                            -stress_dir * dn["avol"], 0.0)
+        # padding slots carry avol=0, so `ok` alone masks the rest
+        contrib = jnp.where(ok, -stress_dir * dn["avol"], 0.0)
         return jnp.sum(contrib, axis=0).astype(dtype)
 
     def _wallfunheat_dense(self, g, c, cfg: Config, surf, dense, fac, bctf,
@@ -622,7 +636,9 @@ class IBM:
             return zfld, zfld, zt, zt, nf0, nf0
         uu, vv, ww, Ta = self._dense_uvwT("c", g, grid)
         _, utan, ok = self._dense_tangent(dn, uu, vv, ww)
-        valid = ok & (dn["valid"] > 0.0)
+        valid = ok  # padding slots carry awgt=0/area=0
+        dzh_k = jnp.asarray(grid.j("dzh"))[:nz][None, None, None, :]
+        areaK = dn["awgt"] * (grid.dx * grid.dy) * dzh_k
         dthl, dqt = zfld, zfld
         hf_tot, ef_tot = zt, zt
         fachf, facef = nf0, nf0
@@ -653,7 +669,7 @@ class IBM:
                     Ta, surf["c"])
             fl = jnp.where(valid, flux, 0.0)
             dthl = -jnp.sum(fl * dn["awgt"], axis=0).astype(dtype)
-            hf_tot = jnp.sum(fl * dn["areaK"]).astype(dtype)
+            hf_tot = jnp.sum(fl * areaK).astype(dtype)
 
         # latent heat on green-roof facets (modibm.f90:1555-1589)
         if (cfg.physics.lmoist and fac is not None
@@ -669,7 +685,7 @@ class IBM:
             mfl = jnp.where(valid & (dn["lGR"] > 0.0)
                             & (htc * jnp.abs(utan) > 0.0), mflux, 0.0)
             dqt = -jnp.sum(mfl * dn["awgt"], axis=0).astype(dtype)
-            ef_tot = jnp.sum(mfl * dn["areaK"]).astype(dtype)
+            ef_tot = jnp.sum(mfl * areaK).astype(dtype)
 
         if need_fac:
             # per-facet sums for the EB: one gather + one segment_sum,
