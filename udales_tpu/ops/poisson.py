@@ -105,6 +105,39 @@ def idct2(x, axis: int):
     return ext[tuple(sl)]
 
 
+# ---------------------------------------------------------------------------
+# Transform-by-matmul (MXU path)
+#
+# XLA's TPU FFT is far off the hardware roofline (measured ~4-6 ms for a
+# 256^3 rfft/irfft pair on v5e, vs ~0.2 ms of HBM time), while an N-point
+# DFT expressed as an (N x N) matmul costs 2N FLOPs/point on the MXU —
+# ~10 us at 128^3. For every transform size this solver meets (N <= a few
+# thousand) the matmul wins by an order of magnitude, so all transforms
+# below are dense matrix applications built once at init. Inverses are
+# exact matrix inverses, so round-trips are identity to machine precision.
+# ---------------------------------------------------------------------------
+
+def _dctII_matrix(n):
+    """FFTW REDFT10: X_k = 2 sum_m x_m cos(pi k (2m+1) / (2n))."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return 2.0 * np.cos(np.pi * k * (2 * m + 1) / (2 * n))
+
+
+def _mm(x, M, axis, out_axis_name="f"):
+    """Apply matrix M (out,in) along `axis` of x via einsum (MXU matmul).
+
+    Precision.HIGHEST forces full-f32 accumulation (bf16x6 passes on the
+    MXU) — the default bf16 matmul loses ~3 decimal digits, which showed up
+    directly as O(1e-4) divergence after the pressure projection."""
+    letters = "abcde"
+    nd = x.ndim
+    subs_in = "".join(letters[i] for i in range(nd))
+    subs_out = subs_in.replace(letters[axis], "F")
+    return jnp.einsum(f"{subs_in},F{letters[axis]}->{subs_out}", x, M,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 class PoissonSolver:
     """Precomputed spectral-tridiagonal solver (reference initpois,
     modpois.f90:66-226)."""
@@ -217,6 +250,54 @@ class PoissonSolver:
             inv[0, 0, 0] = 0.0   # pin the global mean mode
             self.inv_lam3 = jnp.asarray(inv, fdt)
 
+        self._build_transform_matrices()
+
+    def _build_transform_matrices(self):
+        """Dense DFT/DCT matrices for the MXU transform path (see module
+        note). Built in float64, cast to the solve dtype."""
+        grid = self.grid
+        nx, ny, nz = grid.shape
+        fdt = np.float32 if grid.dtype == np.float32 else np.float64
+        cdt = np.complex64 if fdt == np.float32 else np.complex128
+        mats = {}
+        if self.per_x:
+            f = np.arange(nx // 2 + 1)[:, None]
+            m = np.arange(nx)[None, :]
+            mats["Rx"] = np.exp(-2j * np.pi * f * m / nx).astype(cdt)
+            w = np.full(nx // 2 + 1, 2.0)
+            w[0] = 1.0
+            if nx % 2 == 0:
+                w[-1] = 1.0
+            mats["iRx"] = (np.exp(2j * np.pi * m.T * f.T / nx)
+                           * w[None, :] / nx).astype(cdt)   # (nx, nx/2+1)
+        else:
+            C = _dctII_matrix(nx)
+            mats["Cx"] = C.astype(fdt)
+            mats["iCx"] = np.linalg.inv(C).astype(fdt)
+        if self.per_y:
+            g = np.arange(ny)[:, None]
+            m = np.arange(ny)[None, :]
+            mats["Wy"] = np.exp(-2j * np.pi * g * m / ny).astype(cdt)
+            mats["iWy"] = (np.exp(2j * np.pi * m.T * g.T / ny) / ny
+                           ).astype(cdt)
+        else:
+            C = _dctII_matrix(ny)
+            mats["Cy"] = C.astype(fdt)
+            mats["iCy"] = np.linalg.inv(C).astype(fdt)
+        if self.diag_z or True:  # z-DCT also used by the BCzp==2 path
+            C = _dctII_matrix(nz)
+            mats["Cz"] = C.astype(fdt)
+            mats["iCz"] = np.linalg.inv(C).astype(fdt)
+        if getattr(self, "fft3d", False):
+            f = np.arange(nz)[:, None]
+            m = np.arange(nz)[None, :]
+            mats["Wz"] = np.exp(-2j * np.pi * f * m / nz).astype(cdt)
+            mats["iWz"] = (np.exp(2j * np.pi * m.T * f.T / nz) / nz
+                           ).astype(cdt)
+        # kept as host numpy: they become small inline MLIR constants (the
+        # axon PJRT backend cannot create complex device buffers directly)
+        self.mats = mats
+
     def _tridiag(self, rhs):
         """Solve per-mode tridiagonal systems, rhs (mx, my, nz) complex."""
         # forward: y_k = Af_k y_{k-1} + (rhs_k w_k)
@@ -246,34 +327,35 @@ class PoissonSolver:
         xp = self._pencil("x")   # i local (x-pencil): P(None, 'y', 'x')
         yp = self._pencil("y")   # j local (y-pencil): P('x', None, 'y')
         zp = self._pencil("z")   # k local (z-pencil): P('x', 'y', None)
+        M = self.mats
         if self.fft3d:
-            # fully periodic: rfft(x) -> fft(y) -> fft(z) -> divide -> back
-            F = xp(jnp.fft.rfft(xp(rhs), axis=0))
-            F = yp(jnp.fft.fft(yp(F), axis=1))
-            F = zp(jnp.fft.fft(zp(F.astype(cplx)), axis=2))
+            # fully periodic: DFT(x) -> DFT(y) -> DFT(z) -> divide -> back
+            F = xp(_mm(xp(rhs).astype(cplx), M["Rx"], 0))
+            F = yp(_mm(yp(F), M["Wy"], 1))
+            F = zp(_mm(zp(F), M["Wz"], 2))
             X = F * self.inv_lam3d
-            X = zp(jnp.fft.ifft(zp(X), axis=2))
-            X = yp(jnp.fft.ifft(yp(X), axis=1))
-            p = xp(jnp.fft.irfft(xp(X), n=self.grid.itot, axis=0))
+            X = zp(_mm(zp(X), M["iWz"], 2))
+            X = yp(_mm(yp(X), M["iWy"], 1))
+            p = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
             return zp(p).astype(rhs.dtype)
         if self.diag_z:
-            # fully diagonal: DCT(z) -> rfft(x) -> fft(y) -> divide -> back
-            G = zp(dct2_fast(zp(rhs), axis=2))
-            F = xp(jnp.fft.rfft(xp(G), axis=0))
-            F = yp(jnp.fft.fft(yp(F), axis=1))
-            X = zp(F.astype(cplx)) * self.inv_lam3
-            X = yp(jnp.fft.ifft(yp(X), axis=1))
-            Gp = xp(jnp.fft.irfft(xp(X), n=self.grid.itot, axis=0))
-            p = zp(idct2_fast(zp(Gp), axis=2))
+            # fully diagonal: DCT(z) -> DFT(x) -> DFT(y) -> divide -> back
+            G = zp(_mm(zp(rhs), M["Cz"], 2))
+            F = xp(_mm(xp(G).astype(cplx), M["Rx"], 0))
+            F = yp(_mm(yp(F), M["Wy"], 1))
+            X = zp(F) * self.inv_lam3
+            X = yp(_mm(yp(X), M["iWy"], 1))
+            Gp = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
+            p = zp(_mm(zp(Gp), M["iCz"], 2))
             return p.astype(rhs.dtype)
-        # constrain both sides of every FFT so the partitioner never splits
-        # the transform axis (it would, and XLA's partitioned c128 FFT is
-        # broken); the reshards between pencils become all-to-alls.
-        F = xp(jnp.fft.rfft(xp(rhs), axis=0))
-        F = yp(jnp.fft.fft(yp(F), axis=1))
-        X = self._tridiag(zp(F.astype(cplx)))
-        X = yp(jnp.fft.ifft(yp(X), axis=1))
-        p = xp(jnp.fft.irfft(xp(X), n=self.grid.itot, axis=0))
+        # the per-pencil sharding constraints keep each transform axis local
+        # (the reshards between pencils become all-to-alls, exactly the
+        # 2DECOMP transposes of modpois.f90:459-548)
+        F = xp(_mm(xp(rhs).astype(cplx), M["Rx"], 0))
+        F = yp(_mm(yp(F), M["Wy"], 1))
+        X = self._tridiag(zp(F))
+        X = yp(_mm(yp(X), M["iWy"], 1))
+        p = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
         return zp(p).astype(rhs.dtype)
 
     def _pencil(self, which: str):
@@ -293,15 +375,16 @@ class PoissonSolver:
         branches). x non-periodic assumed; y periodic or not."""
         nx, ny, nz = self.grid.shape
         cplx = jnp.complex64 if rhs.dtype == jnp.float32 else jnp.complex128
-        F = dct2(rhs, axis=0)
+        M = self.mats
+        F = _mm(rhs, M["Cx"], 0)
         if self.per_y:
-            F = jnp.fft.fft(F.astype(cplx), axis=1)
+            F = _mm(F.astype(cplx), M["Wy"], 1)
         else:
-            F = dct2(F, axis=1).astype(cplx)
+            F = _mm(F, M["Cy"], 1).astype(cplx)
         X = self._tridiag(F)
         if self.per_y:
-            X = jnp.real(jnp.fft.ifft(X, axis=1))
+            X = jnp.real(_mm(X, M["iWy"], 1))
         else:
-            X = idct2(jnp.real(X), axis=1)
-        p = idct2(X, axis=0)
+            X = _mm(jnp.real(X), M["iCy"], 1)
+        p = _mm(X, M["iCx"], 0)
         return p.astype(rhs.dtype)
