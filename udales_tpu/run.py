@@ -199,10 +199,10 @@ class Model:
                                          cfg.physics.ds)
             du, dv, dw = du + su_, dv + sv_, dw + sw_
 
-        # --- subgrid diffusion ---------------------------------------------
-        du = du + sgs.diff_u(g, grid)
-        dv = dv + sgs.diff_v(g, grid)
-        dw = dw + sgs.diff_w(g, grid)
+        # --- subgrid diffusion (Pallas-fused on TPU) ------------------------
+        from .ops.pallas_stencil import fused_diff_mom
+        xu, xv, xw = fused_diff_mom(g, grid)
+        du, dv, dw = du + xu, dv + xv, dw + xw
         if ltemp:
             dthl = dthl + sgs.diff_c(g.thl, g.ekh, grid)
         if lmoist:
