@@ -189,3 +189,83 @@ class TestRecycleInlet:
         # turbulence is carried in
         assert u_in.std() > 1e-4
         assert np.isfinite(np.asarray(s.c.u)).all()
+
+
+# ---------------------------------------------------------------------------
+# Open-y (ymi_profile inlet + ymo_convective outlet, modboundary.f90:1017-1190)
+# ---------------------------------------------------------------------------
+
+def make_open_y_model(nx=12, ny=16, nz=8, v0=1.0):
+    cfg = Config(
+        domain=DomainConfig(itot=nx, jtot=ny, ktot=nz, xlen=float(nx),
+                            ylen=float(ny)),
+        run=RunConfig(ladaptive=False, dtmax=0.02, randomize=False),
+        physics=PhysicsConfig(lvvolflowr=False),
+        walls=WallsConfig(lbottom=True),
+        bc=BCConfig(BCym=BC_PROFILE, BCyT=BC_PROFILE, BCyq=BC_PROFILE,
+                    BCys=BC_PROFILE, z0=0.01, z0h=0.001, thls=288.0),
+        dtype="float64")
+    grid = Grid.uniform(nx, ny, nz, float(nx), float(ny), float(nz),
+                        dtype=np.float64)
+    model = Model(cfg, grid)
+    j = jnp.asarray
+    model.inlet_y = Inlet(
+        mode=BC_PROFILE, uprof=j(np.zeros(nz)), vprof=j(np.full(nz, v0)),
+        thlprof=j(np.full(nz, 288.0)), qtprof=j(np.zeros(nz)),
+        e12prof=j(np.full(nz, 5e-5)),
+        svprof=jnp.zeros((0, nz)))
+    return model
+
+
+def open_y_state(model, amp=0.02, seed=2):
+    from udales_tpu.ops.openbc import init_yplanes
+    nz = model.grid.ktot
+    f = profile_fields(model.grid, np.zeros(nz), np.full(nz, 1.0),
+                       np.full(nz, 288.0), np.zeros(nz), np.full(nz, 5e-5))
+    if amp:
+        f = randomize(f, jax.random.PRNGKey(seed), amp, nz)
+    f = dataclasses.replace(f, by=init_yplanes(f, model.grid))
+    return initial_state(model.grid, f, dt0=0.02)
+
+
+class TestProfileInletY:
+    def test_inlet_enforced(self):
+        model = make_open_y_model()
+        s = jax.jit(model.step)(open_y_state(model))
+        np.testing.assert_allclose(np.asarray(s.c.v[:, 0]), 1.0, atol=1e-12)
+
+    def test_divergence_free(self):
+        model = make_open_y_model()
+        s = jax.jit(model.step)(open_y_state(model))
+        grid = model.grid
+        c = s.c
+        vf = jnp.concatenate([c.v, c.by.v[:, None]], axis=1)
+        gu = jnp.pad(c.u, ((0, 1), (0, 0), (0, 0)), mode="wrap")
+        div = ((gu[1:] - gu[:-1]) * grid.dxi
+               + (vf[:, 1:] - vf[:, :-1]) * grid.dyi
+               + (c.w[:, :, 1:] - c.w[:, :, :-1])
+               * grid.dzfi[None, None, :])
+        div = np.asarray(div)
+        assert np.abs(div[:, :, :-1]).max() < 1e-8
+        assert np.abs(div[:, :, -1]).max() < 1e-2
+
+    def test_mass_conservation(self):
+        model = make_open_y_model()
+        s = open_y_state(model, amp=0.0)
+        step = jax.jit(model.step)
+        for _ in range(10):
+            s = step(s)
+        influx = float(jnp.mean(s.c.v[:, 0]))
+        outflux = float(jnp.mean(s.c.by.v))
+        assert abs(influx - 1.0) < 1e-12
+        assert abs(outflux - influx) < 0.05, (influx, outflux)
+
+    def test_stable_with_perturbations(self):
+        model = make_open_y_model()
+        s = open_y_state(model, amp=0.05)
+        step = jax.jit(model.step)
+        for _ in range(10):
+            s = step(s)
+        assert np.isfinite(np.asarray(s.c.v)).all()
+        assert np.abs(np.asarray(s.c.v)).max() < 5.0
+        assert np.isfinite(np.asarray(s.c.by.u)).all()

@@ -31,6 +31,10 @@ def _open_x(cfg: Config) -> bool:
     return cfg.bc.BCxm != BC_PERIODIC
 
 
+def _open_y(cfg: Config) -> bool:
+    return cfg.bc.BCym != BC_PERIODIC
+
+
 def _assemble(gk, h, lo_plane, hi_plane):
     """Pad y periodically, then attach explicit x ghost planes (already
     k-ghosted, shape (ny, nzg))."""
@@ -41,10 +45,22 @@ def _assemble(gk, h, lo_plane, hi_plane):
                            axis=0)
 
 
+def _assemble_y(gk, h, lo_plane, hi_plane):
+    """Pad x periodically, then attach explicit y ghost planes (already
+    k-ghosted, shape (nx, nzg)) — the open-y mirror of _assemble."""
+    gx = jnp.pad(gk, ((h, h), (0, 0), (0, 0)), mode="wrap")
+    lo = jnp.pad(lo_plane, ((h, h), (0, 0)), mode="wrap")
+    hi = jnp.pad(hi_plane, ((h, h), (0, 0)), mode="wrap")
+    return jnp.concatenate([*([lo[:, None]] * h), gx,
+                            *([hi[:, None]] * h)], axis=1)
+
+
 def _pad_field(gk, h, cfg, lo_plane=None, hi_plane=None):
-    if not _open_x(cfg):
+    if not (_open_x(cfg) or _open_y(cfg)):
         return pad_periodic_xy(gk, h)
-    return _assemble(gk, h, lo_plane, hi_plane)
+    if _open_x(cfg):
+        return _assemble(gk, h, lo_plane, hi_plane)
+    return _assemble_y(gk, h, lo_plane, hi_plane)
 
 
 # --- per-field k-ghost rules (shared by interior arrays and x planes) ------
@@ -71,13 +87,19 @@ def _kg_scalar(f, top):
 
 # --- ghost builders --------------------------------------------------------
 
-def ghost_u(u, cfg: Config, h: int = 1, openx=None):
+def ghost_u(u, cfg: Config, h: int = 1, openx=None, openy=None):
     """u ghosts: bottom ghost 0 (reference leaves um(kb-1)=0 from initfields,
     giving the molecular no-slip stress with the mirrored ekm of closurebc);
     top per BCtopm; x per BCxm (profile inlet ghost 2u(ib)-u(ib+1),
     modboundary.f90:699; driver ghost = driver plane :732; outlet face from
-    the prognostic XPlanes)."""
+    the prognostic XPlanes). Open-y: ymi_profile (:1017-1045)."""
     gk = _kg_u(u, cfg)
+    if openy is not None:
+        uprof_k = _kg_u(jnp.broadcast_to(openy["inlet"]["u"],
+                                         (u.shape[0], u.shape[2])), cfg)
+        lo = 2.0 * uprof_k - gk[:, 0]
+        hi = _kg_u(openy["by"].u, cfg)
+        return _assemble_y(gk, h, lo, hi)
     if openx is None:
         return _pad_field(gk, h, cfg)
     if cfg.bc.BCxm == BC_PROFILE:
@@ -88,8 +110,13 @@ def ghost_u(u, cfg: Config, h: int = 1, openx=None):
     return _assemble(gk, h, lo, hi)
 
 
-def ghost_v(v, cfg: Config, h: int = 1, openx=None):
+def ghost_v(v, cfg: Config, h: int = 1, openx=None, openy=None):
     gk = _kg_v(v, cfg)
+    if openy is not None:
+        # ymi_profile: v(jb)=vprof pinned in the update; ghost extrapolates
+        lo = 2.0 * gk[:, 0] - gk[:, 1]
+        hi = _kg_v(openy["by"].v, cfg)
+        return _assemble_y(gk, h, lo, hi)
     if openx is None:
         return _pad_field(gk, h, cfg)
     if cfg.bc.BCxm == BC_PROFILE:
@@ -102,13 +129,15 @@ def ghost_v(v, cfg: Config, h: int = 1, openx=None):
     return _assemble(gk, h, lo, hi)
 
 
-def ghost_w(w, cfg: Config, h: int = 1, openx=None):
+def ghost_w(w, cfg: Config, h: int = 1, openx=None, openy=None):
     """w is a face array (nx,ny,nz+1); bottom/top faces enforced impermeable
     (modboundary.f90:165-166, 177) except the pressure top BC where the top
     face is prognostic."""
     w = w.at[..., 0].set(0.0)
     if cfg.bc.BCtopm != BCTOPM_PRESSURE:
         w = w.at[..., -1].set(0.0)
+    if openy is not None:
+        return _assemble_y(w, h, -w[:, 0], openy["by"].w)
     if openx is None:
         return _pad_field(w, h, cfg)
     if cfg.bc.BCxm == BC_PROFILE:
@@ -130,10 +159,19 @@ def _scalar_top_ghost(f, ekh, grid: Grid, flux: float, value: float, mode: int):
     return take_k(f, -1) + flux * (dzh_top ** 2) / denom
 
 
-def ghost_thl(thl, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
+def ghost_thl(thl, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
+              openy=None):
     top = _scalar_top_ghost(thl, ekh, grid, cfg.bc.wttop, cfg.bc.thl_top,
                             cfg.bc.BCtopT)
     gk = _kg_scalar(thl, top)
+    if openy is not None:
+        # yTi_profile (modboundary.f90:1048-1062): ghost = 2 prof - thl(jb)
+        prof_k = _kg_scalar(jnp.broadcast_to(openy["inlet"]["thl"],
+                                             (thl.shape[0], thl.shape[2])),
+                            openy["inlet"]["thl"][..., -1:])
+        lo = 2.0 * prof_k - gk[:, 0]
+        hi = _kg_scalar(openy["by"].thl, openy["by"].thl[..., -1:])
+        return _assemble_y(gk, h, lo, hi)
     if openx is None:
         return _pad_field(gk, h, cfg)
     # profile inlet: ghost = thlprof (modboundary.f90:778-783); driver: plane
@@ -143,10 +181,18 @@ def ghost_thl(thl, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
     return _assemble(gk, h, lo, hi)
 
 
-def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
+def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
+             openy=None):
     top = _scalar_top_ghost(qt, ekh, grid, cfg.bc.wqtop, cfg.bc.qt_top,
                             cfg.bc.BCtopq)
     gk = _kg_scalar(qt, top)
+    if openy is not None:
+        prof_k = _kg_scalar(jnp.broadcast_to(openy["inlet"]["qt"],
+                                             (qt.shape[0], qt.shape[2])),
+                            openy["inlet"]["qt"][..., -1:])
+        lo = 2.0 * prof_k - gk[:, 0]
+        hi = _kg_scalar(openy["by"].qt, openy["by"].qt[..., -1:])
+        return _assemble_y(gk, h, lo, hi)
     if openx is None:
         return _pad_field(gk, h, cfg)
     if cfg.bc.BCxq == BC_PROFILE:
@@ -161,12 +207,15 @@ def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
     return _assemble(gk, h, lo, hi)
 
 
-def ghost_e12(e12, cfg: Config, h: int = 1, openx=None):
+def ghost_e12(e12, cfg: Config, h: int = 1, openx=None, openy=None):
     if cfg.bc.BCtopm in (BCTOPM_FREESLIP, BCTOPM_PRESSURE):
         top = jnp.full_like(take_k(e12, -1), const.e12min)
     else:
         top = take_k(e12, -1)
     gk = _kg_scalar(e12, top)
+    if openy is not None:
+        hi = _kg_scalar(openy["by"].e12, openy["by"].e12[..., -1:])
+        return _assemble_y(gk, h, gk[:, 0], hi)
     if openx is None:
         return _pad_field(gk, h, cfg)
     lo = gk[0]       # driver: extrapolate from interior (modboundary:757)
@@ -175,7 +224,7 @@ def ghost_e12(e12, cfg: Config, h: int = 1, openx=None):
 
 
 def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2, openx=None,
-                       sv_index: int = 0):
+                       openy=None, sv_index: int = 0):
     """Scalar ghosts for the kappa scheme: halo 2 in x/y and 2 ghost cells
     in k (reference ihc=jhc=khc=2)."""
     bot = take_k(c, 0)
@@ -183,16 +232,22 @@ def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2, openx=None,
     g = c
     for _ in range(hk):
         g = pad_axis(g, 2, bot, top)
-    if openx is None:
-        return _pad_field(g, h, cfg)
-    inl = openx["inlet"]["sv"][sv_index]
 
     def kg2(p):
-        """(ny, nz) plane -> (ny, nz+2*hk) with replicated k ghosts."""
+        """(n, nz) plane -> (n, nz+2*hk) with replicated k ghosts."""
         q = p
         for _ in range(hk):
             q = pad_axis(q, q.ndim - 1, q[..., :1], q[..., -1:])
         return q
+    if openy is not None:
+        # ysi_profile (modboundary.f90:1065-1097)
+        inl = openy["inlet"]["sv"][sv_index]
+        lo = 2.0 * kg2(inl) - kg2(c[:, 0])
+        hi = kg2(openy["by"].sv[sv_index])
+        return _assemble_y(g, h, lo, hi)
+    if openx is None:
+        return _pad_field(g, h, cfg)
+    inl = openx["inlet"]["sv"][sv_index]
     if cfg.bc.BCxs == BC_PROFILE:
         lo = 2.0 * kg2(inl) - kg2(c[0])
     else:
@@ -201,7 +256,8 @@ def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2, openx=None,
     return _assemble(g, h, lo, hi)
 
 
-def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
+def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
+             openy=None):
     """closurebc (modboundary.f90:434-505)."""
     numol = const.numol
     numolh = const.numol * const.prandtlmoli
@@ -215,7 +271,11 @@ def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None):
         top_h = take_k(ekh, -1)
     gkm = pad_axis(ekm, 2, bot_m, top_m)
     gkh = pad_axis(ekh, 2, bot_h, top_h)
-    if openx is None:
+    if openy is not None:
+        # zero-gradient at the y inflow/outflow (closurebc y branch)
+        gm = _assemble_y(gkm, h, gkm[:, 0], gkm[:, -1])
+        gh = _assemble_y(gkh, h, gkh[:, 0], gkh[:, -1])
+    elif openx is None:
         gm = _pad_field(gkm, h, cfg)
         gh = _pad_field(gkh, h, cfg)
     else:
@@ -241,22 +301,22 @@ class Ghosts:
 
 
 def make_ghosts(f: Fields, ekm, ekh, cfg: Config, grid: Grid,
-                h: int = 1, openx=None) -> Ghosts:
-    gm, gh = ghost_ek(ekm, ekh, cfg, grid, h, openx)
+                h: int = 1, openx=None, openy=None) -> Ghosts:
+    gm, gh = ghost_ek(ekm, ekh, cfg, grid, h, openx, openy)
     nsv = f.sv.shape[0]
     if nsv > 0:
         gsv = jnp.stack([ghost_scalar_kappa(f.sv[n], cfg, openx=openx,
-                                            sv_index=n)
+                                            openy=openy, sv_index=n)
                          for n in range(nsv)])
     else:
         gsv = f.sv
     return Ghosts(
-        u=ghost_u(f.u, cfg, h, openx),
-        v=ghost_v(f.v, cfg, h, openx),
-        w=ghost_w(f.w, cfg, h, openx),
-        thl=ghost_thl(f.thl, ekh, cfg, grid, h, openx),
-        qt=ghost_qt(f.qt, ekh, cfg, grid, h, openx),
-        e12=ghost_e12(f.e12, cfg, h, openx),
+        u=ghost_u(f.u, cfg, h, openx, openy),
+        v=ghost_v(f.v, cfg, h, openx, openy),
+        w=ghost_w(f.w, cfg, h, openx, openy),
+        thl=ghost_thl(f.thl, ekh, cfg, grid, h, openx, openy),
+        qt=ghost_qt(f.qt, ekh, cfg, grid, h, openx, openy),
+        e12=ghost_e12(f.e12, cfg, h, openx, openy),
         sv=gsv,
         ekm=gm,
         ekh=gh,

@@ -130,6 +130,51 @@ def uouttot_value(cfg: Config, u0av, grid: Grid):
     return jnp.sum(u0av * dzf) / (grid.zh[-1] - grid.zh[1])
 
 
+def vouttot_value(cfg: Config, v0av, grid: Grid):
+    """Outflow advection velocity for open-y (y mirror of uouttot)."""
+    if cfg.physics.lvvolflowr:
+        return jnp.asarray(cfg.physics.vflowrate, v0av.dtype)
+    dzf = jnp.asarray(grid.j("dzf"))
+    return jnp.sum(v0av * dzf) / (grid.zh[-1] - grid.zh[1])
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class YPlanes:
+    """Outlet (y = ylen) boundary planes — the y mirror of XPlanes
+    (ymo_convective and friends, modboundary.f90:1100-1190)."""
+    u: Any    # (nx, nz)   u ghost at je+1
+    v: Any    # (nx, nz)   v face at y=ny (prognostic)
+    w: Any    # (nx, nz+1) w ghost at je+1
+    thl: Any
+    qt: Any
+    e12: Any
+    sv: Any   # (nsv, nx, nz)
+
+
+def init_yplanes(fields, grid: Grid) -> YPlanes:
+    return YPlanes(u=fields.u[:, -1], v=fields.v[:, -1], w=fields.w[:, -1],
+                   thl=fields.thl[:, -1], qt=fields.qt[:, -1],
+                   e12=fields.e12[:, -1], sv=fields.sv[:, :, -1])
+
+
+def convect_planes_y(by: YPlanes, fields, grid: Grid, rk3coef, vouttot,
+                     inlet_planes) -> YPlanes:
+    """Convective outlet update in y (ymo/yTo/yqo/yso_convective,
+    modboundary.f90:1100-1190)."""
+    fac = grid.dyi * rk3coef * vouttot
+    cv = lambda g, i: g - (g - i) * fac
+    return YPlanes(
+        u=cv(by.u, fields.u[:, -1]),
+        v=by.v,
+        w=cv(by.w, fields.w[:, -1]),
+        thl=cv(by.thl, fields.thl[:, -1]),
+        qt=cv(by.qt, fields.qt[:, -1]),
+        e12=cv(by.e12, fields.e12[:, -1]),
+        sv=cv(by.sv, fields.sv[:, :, -1]) if by.sv.shape[0] else by.sv,
+    )
+
+
 def pad_x_open(f, lo_plane, hi_plane, h: int = 1):
     """Pad axis 0 with explicit ghost planes (each (ny[,+halo], nz...))."""
     parts = []

@@ -372,19 +372,27 @@ class PoissonSolver:
 
     def _solve_neumann(self, rhs):
         """Inflow/outflow (Neumann) directions via DCT (modpois.f90 REDFT
-        branches). x non-periodic assumed; y periodic or not."""
+        branches): DCT along each open direction, DFT along each periodic
+        one, modal tridiagonal solve in k."""
         nx, ny, nz = self.grid.shape
         cplx = jnp.complex64 if rhs.dtype == jnp.float32 else jnp.complex128
         M = self.mats
-        F = _mm(rhs, M["Cx"], 0)
-        if self.per_y:
+        # forward: real transforms (DCT) first, complex DFT last
+        F = rhs if self.per_x else _mm(rhs, M["Cx"], 0)
+        F = F if self.per_y else _mm(F, M["Cy"], 1)
+        if self.per_x:
+            F = _mm(F.astype(cplx), M["Rx"], 0)
+        elif self.per_y:
             F = _mm(F.astype(cplx), M["Wy"], 1)
         else:
-            F = _mm(F, M["Cy"], 1).astype(cplx)
+            F = F.astype(cplx)
         X = self._tridiag(F)
-        if self.per_y:
+        if self.per_x:
+            X = jnp.real(_mm(X, M["iRx"], 0))
+        elif self.per_y:
             X = jnp.real(_mm(X, M["iWy"], 1))
         else:
-            X = _mm(jnp.real(X), M["iCy"], 1)
-        p = _mm(X, M["iCx"], 0)
+            X = jnp.real(X)
+        X = X if self.per_y else _mm(X, M["iCy"], 1)
+        p = X if self.per_x else _mm(X, M["iCx"], 0)
         return p.astype(rhs.dtype)

@@ -49,6 +49,7 @@ class Model:
         self.mesh = mesh   # jax.sharding.Mesh for multi-chip runs
         self.eb = None     # FacetEB for energy-balance runs
         self.inlet = None  # ops.openbc.Inlet for open-x runs
+        self.inlet_y = None  # ops.openbc.Inlet for open-y runs (profile only)
         self.vegetation = None   # physics.Vegetation
         self.heatpumps = None    # physics.HeatPumps
         self.scalsources = None  # physics.ScalarSources
@@ -116,6 +117,9 @@ class Model:
         if self.inlet is not None:
             from .ops.openbc import init_xplanes
             f = dataclasses.replace(f, bx=init_xplanes(f, grid))
+        if self.inlet_y is not None:
+            from .ops.openbc import init_yplanes
+            f = dataclasses.replace(f, by=init_yplanes(f, grid))
         fac = self.eb.initial_state() if self.eb is not None else None
         st = initial_state(grid, f, dt0=dt0, fac=fac)
         st = self.attach_params(st)
@@ -162,16 +166,25 @@ class Model:
             openx = {"inlet": inlet_planes, "bx": c.bx}
             uouttot = uouttot_value(cfg, th.u0av, grid)
 
+        # --- open-y inlet/outlet context (ymi_profile/ymo_convective) ------
+        openy = None
+        vouttot = None
+        if self.inlet_y is not None:
+            from .ops.openbc import vouttot_value
+            inlet_y = self.inlet_y.planes(state.timee, nx, nz)
+            openy = {"inlet": inlet_y, "by": c.by}
+            vouttot = vouttot_value(cfg, th.v0av, grid)
+
         # --- SGS closure (modsubgrid.closure) ------------------------------
-        gvel = _velocity_ghosts(c, cfg, grid, openx)
+        gvel = _velocity_ghosts(c, cfg, grid, openx, openy)
         thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
         ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
                                     dthvdz=th.dthvdz, thl=c.thl, thvs=thvs)
 
-        g = make_ghosts(c, ekm, ekh, cfg, grid, openx=openx)
+        g = make_ghosts(c, ekm, ekh, cfg, grid, openx=openx, openy=openy)
 
         # --- advection (+ pressure-gradient term, modadvection) ------------
-        gp = _pad_pres(state.pres, openx)
+        gp = _pad_pres(state.pres, openx, openy)
         du = adv.adv_u(g, grid) - (gp[1:-1, 1:-1, :] - gp[:-2, 1:-1, :]) * grid.dxi
         dv = adv.adv_v(g, grid) - (gp[1:-1, 1:-1, :] - gp[1:-1, :-2, :]) * grid.dyi
         dw = adv.adv_w(g, grid)
@@ -182,7 +195,7 @@ class Model:
 
         dthl = adv.adv_c2(g.thl, g, grid) if ltemp else jnp.zeros_like(c.thl)
         if ltemp and self.cfg.iadv_thl == IADV_KAPPA:
-            gthl_k = _kappa_ghost_scalar(c.thl, cfg, openx)
+            gthl_k = _kappa_ghost_scalar(c.thl, cfg, openx, openy)
             dthl = adv.adv_kappa(gthl_k, g, grid)
         dqt = adv.adv_c2(g.qt, g, grid) if lmoist else jnp.zeros_like(c.qt)
         de12 = (adv.adv_c2(g.e12, g, grid)
@@ -332,7 +345,7 @@ class Model:
             IIu = self.ibm.masks.u if self.ibm is not None else \
                 jnp.ones((nx, ny, nz), du.dtype)
             du = masscorr_uvol(du, m.u, grid, cfg, rk3coef, IIu)
-        if cfg.physics.lvvolflowr and openx is None:
+        if cfg.physics.lvvolflowr and openx is None and openy is None:
             IIv = self.ibm.masks.v if self.ibm is not None else \
                 jnp.ones((nx, ny, nz), dv.dtype)
             dv = masscorr_vvol(dv, m.v, grid, cfg, rk3coef, IIv)
@@ -363,9 +376,9 @@ class Model:
         dw = dw.at[..., 0].set(0.0)
 
         # --- pressure projection (modpois.poisson) -------------------------
-        du, dv, dw, p, du_out = self._project(
+        du, dv, dw, p, du_out, dv_out = self._project(
             du, dv, dw, m, rk3coef, c=c, openx=openx, uouttot=uouttot,
-            pres=state.pres, masks=masks)
+            openy=openy, vouttot=vouttot, pres=state.pres, masks=masks)
         pres = state.pres + p
 
         # --- purifiers (modpurifiers.f90, between poisson and integrate) ---
@@ -384,8 +397,25 @@ class Model:
             e12=jnp.maximum(const.e12min, e12_new),
             sv=m.sv + rk3coef * dsv if nsv > 0 else m.sv,
             bx=c.bx,
+            by=c.by,
         )
         m_new = m
+        if openy is not None:
+            # pin the inlet plane (ymi_profile) and advance the prognostic
+            # outlet planes (ymo_* convective)
+            from .ops.openbc import convect_planes_y
+            c_new = dataclasses.replace(
+                c_new, v=c_new.v.at[:, 0].set(inlet_y["v"]))
+            if ltemp and cfg.bc.BCyT == BC_PROFILE:
+                c_new = dataclasses.replace(
+                    c_new, thl=c_new.thl.at[:, 0].set(inlet_y["thl"]))
+            v_out_new = m.by.v + rk3coef * dv_out
+            byc = dataclasses.replace(c.by, v=v_out_new)
+            byc = convect_planes_y(byc, c_new, grid, rk3coef, vouttot,
+                                   inlet_y)
+            c_new = dataclasses.replace(c_new, by=byc)
+            bym = convect_planes_y(m.by, m, grid, rk3coef, vouttot, inlet_y)
+            m_new = dataclasses.replace(m_new, by=bym)
         if openx is not None:
             # enforce the inlet plane (xmi_*, modboundary.f90:697/730) and
             # advance the prognostic outlet planes (xmo_* convective)
@@ -420,11 +450,12 @@ class Model:
         return state.replace(c=c_new, m=m_new, pres=pres, fac=fac, ctl=ctl)
 
     def _project(self, du, dv, dw, m: Fields, rk3coef, c=None, openx=None,
-                 uouttot=None, pres=None, masks=None):
+                 uouttot=None, openy=None, vouttot=None, pres=None,
+                 masks=None):
         """fillps + bcpup + poisson + tderive (modpois.f90:911-998, 419-712,
         1001-1105; modboundary.f90:1191-1341). Returns the projected
-        tendencies, the pressure correction, and the outlet-face u tendency
-        (None for periodic x)."""
+        tendencies, the pressure correction, and the outlet-face u/v
+        tendencies (None for periodic directions)."""
         grid, cfg = self.grid, self.cfg
         nx, ny, nz = grid.shape
         rk3coefi = 1.0 / rk3coef
@@ -449,12 +480,11 @@ class Model:
             pwp = pwp.at[..., nz].set(0.0)
         dzfi = grid.j("dzfi")
         du_out = None
+        dv_out = None
+        # x face divergence term
         if openx is None:
             gpu = pad_periodic_xy(pup, 1)
-            gpv = pad_periodic_xy(pvp, 1)
-            rhs = ((gpu[2:, 1:-1, :] - gpu[1:-1, 1:-1, :]) * grid.dxi
-                   + (gpv[1:-1, 2:, :] - gpv[1:-1, 1:-1, :]) * grid.dyi
-                   + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
+            ddx = (gpu[2:, 1:-1, :] - gpu[1:-1, 1:-1, :]) * grid.dxi
         else:
             # bcpup open-x (modboundary.f90:1247-1305): inlet face fixed to
             # the inlet plane; outlet face convective
@@ -467,14 +497,29 @@ class Model:
                        - (u_out - c.u[-1]) * grid.dxi * uouttot)
             du_out = pup_out - u_out_m * rk3coefi
             pup_faces = jnp.concatenate([pup, pup_out[None]], axis=0)
-            gpv2 = jnp.pad(pvp, ((0, 0), (0, 1), (0, 0)), mode="wrap")
-            rhs = ((pup_faces[1:] - pup_faces[:-1]) * grid.dxi
-                   + (gpv2[:, 1:, :] - gpv2[:, :-1, :]) * grid.dyi
-                   + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
+            ddx = (pup_faces[1:] - pup_faces[:-1]) * grid.dxi
+        # y face divergence term
+        if openy is None:
+            gpv = pad_periodic_xy(pvp, 1)
+            ddy = (gpv[1:-1, 2:, :] - gpv[1:-1, 1:-1, :]) * grid.dyi
+        else:
+            # bcpup open-y: inlet v face fixed; outlet v face convective
+            inlet_v = openy["inlet"]["v"]
+            dv = dv.at[:, 0].set(0.0)
+            pvp = pvp.at[:, 0].set(inlet_v * rk3coefi)
+            v_out = openy["by"].v
+            v_out_m = m.by.v
+            pvp_out = (v_out_m * rk3coefi
+                       - (v_out - c.v[:, -1]) * grid.dyi * vouttot)
+            dv_out = pvp_out - v_out_m * rk3coefi
+            pvp_faces = jnp.concatenate([pvp, pvp_out[:, None]], axis=1)
+            ddy = (pvp_faces[:, 1:] - pvp_faces[:, :-1]) * grid.dyi
+        rhs = (ddx + ddy
+               + (pwp[:, :, 1:] - pwp[:, :, :-1]) * dzfi[None, None, :])
         p = self.pois.solve(rhs)
         # tderive: subtract grad p from the tendencies (Neumann ghosts at
         # open boundaries leave the inlet face untouched, modpois:1046-1056)
-        gp = _pad_pres(p, openx)
+        gp = _pad_pres(p, openx, openy)
         du = du - (gp[1:-1, 1:-1, :] - gp[:-2, 1:-1, :]) * grid.dxi
         dv = dv - (gp[1:-1, 1:-1, :] - gp[1:-1, :-2, :]) * grid.dyi
         dzhi = grid.j("dzhi")
@@ -487,7 +532,7 @@ class Model:
             pij = avexy_masked(p, IIc)
             pij = jnp.where(pij < -900.0, 0.0, pij)
             dw = dw.at[..., nz].add(2.0 * pij[nz - 1] / grid.dzh[-1])
-        return du, dv, dw, p, du_out
+        return du, dv, dw, p, du_out, dv_out
 
     # -- dt control (modtstep.tstep_update:49-154) --------------------------
     def new_dt(self, state: State, ekm=None, ekh=None):
@@ -520,6 +565,7 @@ class Model:
         """One full RK3 timestep (3 substeps) + dt/time bookkeeping."""
         # dt from the previous step's fields (tstep_update at rk3step==1)
         openx0 = None
+        openy0 = None
         if self.inlet is not None:
             from .ops.openbc import BC_RECYCLE, recycle_planes
             ny, nz = self.grid.jtot, self.grid.ktot
@@ -527,7 +573,11 @@ class Model:
                        if self.inlet.mode == BC_RECYCLE
                        else self.inlet.planes(state.timee, ny, nz))
             openx0 = {"inlet": planes0, "bx": state.m.bx}
-        gvel = _velocity_ghosts(state.m, self.cfg, self.grid, openx0)
+        if self.inlet_y is not None:
+            planes0y = self.inlet_y.planes(state.timee, self.grid.itot,
+                                           self.grid.ktot)
+            openy0 = {"inlet": planes0y, "by": state.m.by}
+        gvel = _velocity_ghosts(state.m, self.cfg, self.grid, openx0, openy0)
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(state.m, self.cfg, self.grid, masks)
         thvs = self.cfg.bc.thls if self.cfg.bc.thls > 0 else 288.0
@@ -567,16 +617,17 @@ def _chem(sv, dt, cfg, IIc):
 
 
 def _velocity_ghosts(f: Fields, cfg: Config, grid: Grid,
-                     openx=None) -> Ghosts:
+                     openx=None, openy=None) -> Ghosts:
     """Minimal ghost set (u, v, w only) for closure/dt before ekm exists."""
     from .ops.boundary import ghost_u, ghost_v
     return Ghosts(
-        u=ghost_u(f.u, cfg, openx=openx), v=ghost_v(f.v, cfg, openx=openx),
-        w=ghost_w(f.w, cfg, openx=openx),
+        u=ghost_u(f.u, cfg, openx=openx, openy=openy),
+        v=ghost_v(f.v, cfg, openx=openx, openy=openy),
+        w=ghost_w(f.w, cfg, openx=openx, openy=openy),
         thl=None, qt=None, e12=None, sv=None, ekm=None, ekh=None)
 
 
-def _kappa_ghost_scalar(cfield, cfg, openx=None):
+def _kappa_ghost_scalar(cfield, cfg, openx=None, openy=None):
     from .ops.boundary import ghost_scalar_kappa
     if openx is not None:
         # thl uses the thl inlet plane through the sv slot of the context
@@ -586,16 +637,26 @@ def _kappa_ghost_scalar(cfield, cfg, openx=None):
                  "bx": dataclasses.replace(openx["bx"],
                                            sv=openx["bx"].thl[None])}
         return ghost_scalar_kappa(cfield, cfg, openx=openx, sv_index=0)
+    if openy is not None:
+        openy = {**openy,
+                 "inlet": {**openy["inlet"],
+                           "sv": openy["inlet"]["thl"][None]},
+                 "by": dataclasses.replace(openy["by"],
+                                           sv=openy["by"].thl[None])}
+        return ghost_scalar_kappa(cfield, cfg, openy=openy, sv_index=0)
     return ghost_scalar_kappa(cfield, cfg)
 
 
-def _pad_pres(p, openx):
+def _pad_pres(p, openx, openy=None):
     """Pressure ghosts (bcp, modboundary.f90:1344-1430): periodic wrap or
-    zero-gradient at open-x boundaries; y periodic."""
-    if openx is None:
+    zero-gradient at open boundaries."""
+    if openx is None and openy is None:
         return pad_periodic_xy(p, 1)
-    px = jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="edge")
-    return jnp.pad(px, ((0, 0), (1, 1), (0, 0)), mode="wrap")
+    if openx is not None:
+        px = jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        return jnp.pad(px, ((0, 0), (1, 1), (0, 0)), mode="wrap")
+    py = jnp.pad(p, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    return jnp.pad(py, ((1, 1), (0, 0), (0, 0)), mode="wrap")
 
 
 # ---------------------------------------------------------------------------
@@ -611,11 +672,10 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         nam = sorted(case_dir.glob("namoptions.*"))[0]
         expnr = nam.suffix[1:]
     cfg = load_namoptions(case_dir / f"namoptions.{expnr}", dtype=dtype)
-    if cfg.bc.BCym != BC_PERIODIC:
+    if cfg.bc.BCym != BC_PERIODIC and cfg.bc.BCxm != BC_PERIODIC:
         raise NotImplementedError(
-            "open y-boundaries (BCym != periodic) are not implemented yet; "
-            "the supported inflow/outflow direction is x (the reference's "
-            "linoutflow configuration)")
+            "simultaneously open x AND y boundaries are not supported "
+            "(the reference's configurations open at most one direction)")
     dom = cfg.domain
     np_dt = np.float32 if dtype == "float32" else np.float64
     grid = Grid.from_prof_inp(case_dir / f"prof.inp.{expnr}", dom.itot,
@@ -646,17 +706,21 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
     if (cfg.heatpump.lheatpump
             and (case_dir / f"heatpump.inp.{expnr}").exists()):
         model.heatpumps = HeatPumps.load(case_dir, expnr, cfg, grid)
-    if cfg.bc.BCxm == BC_PROFILE:
+    if cfg.bc.BCxm == BC_PROFILE or cfg.bc.BCym == BC_PROFILE:
         from .ops.openbc import Inlet
         p = inputs.prof
         j = lambda a: jnp.asarray(a, grid.dtype)
         sv = (jnp.asarray(inputs.scalar, grid.dtype)
               if inputs.scalar is not None
               else jnp.zeros((cfg.scalars.nsv, dom.ktot), grid.dtype))
-        model.inlet = Inlet(mode=BC_PROFILE, uprof=j(p["u"]), vprof=j(p["v"]),
-                            thlprof=j(p["thl"]), qtprof=j(p["qt"]),
-                            e12prof=j(np.maximum(p["e12"], const.e12min)),
-                            svprof=sv)
+        inl = Inlet(mode=BC_PROFILE, uprof=j(p["u"]), vprof=j(p["v"]),
+                    thlprof=j(p["thl"]), qtprof=j(p["qt"]),
+                    e12prof=j(np.maximum(p["e12"], const.e12min)),
+                    svprof=sv)
+        if cfg.bc.BCxm == BC_PROFILE:
+            model.inlet = inl
+        else:
+            model.inlet_y = inl
     elif cfg.bc.BCxm == BC_DRIVER:
         from .ops.openbc import load_driver_inlet
         dpath = case_dir / f"driverdata.{cfg.driver.driverjobnr:03d}.h5"

@@ -39,6 +39,7 @@ class Fields:
     e12: Any
     sv: Any  # (nsv, nx, ny, nz); nsv may be 0
     bx: Any = None  # XPlanes outlet state for open-x runs (ops/openbc.py)
+    by: Any = None  # YPlanes outlet state for open-y runs (ops/openbc.py)
 
     def map(self, fn):
         return jax.tree.map(fn, self)
