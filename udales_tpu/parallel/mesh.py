@@ -33,29 +33,58 @@ def field_spec(ndim: int, leading_batch: bool = False) -> P:
     return P()
 
 
+def _path_names(path):
+    out = []
+    for p in path:
+        n = getattr(p, "name", None)
+        if n is None:
+            n = getattr(p, "key", None)
+        if n is not None:
+            out.append(str(n))
+    return out
+
+
+def _leaf_spec(path, leaf) -> P:
+    """PartitionSpec for one State leaf, aware of the special sub-pytrees:
+    facet state (replicated), open-boundary planes (sharded along their one
+    lateral axis), and the IBM dense parameter stacks (leading slot axis)."""
+    nd = getattr(leaf, "ndim", 0)
+    names = _path_names(path)
+    if "bx" in names:   # XPlanes: (ny, nz[+1]) / sv (nsv, ny, nz)
+        if nd == 3:
+            return P(None, "y", None)
+        if nd == 2:
+            return P("y", None)
+        return P()
+    if "by" in names:   # YPlanes: (nx, nz[+1]) / sv (nsv, nx, nz)
+        if nd == 3:
+            return P(None, "x", None)
+        if nd == 2:
+            return P("x", None)
+        return P()
+    if "fac" in names and "dense" not in names:
+        return P()      # per-facet arrays: replicate
+    if "ctl" in names:
+        return P()
+    if nd == 4:          # sv (nsv,nx,ny,nz) / ibmp stacks (K,nx,ny,nz[+1])
+        return field_spec(4, leading_batch=True)
+    if nd >= 2 and "ibmp" not in names and "fac" not in names:
+        return field_spec(nd)
+    return P()
+
+
 def shard_state(state, mesh: Mesh):
     """device_put the full State pytree with the pencil sharding."""
-    def put(leaf):
+    def put(path, leaf):
         if leaf is None:
             return None
-        nd = getattr(leaf, "ndim", 0)
-        if nd == 4:           # sv: (nsv, nx, ny, nz)
-            spec = field_spec(4, leading_batch=True)
-        elif nd >= 2:
-            spec = field_spec(nd)
-        else:
-            spec = P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-    return jax.tree.map(put, state)
+        return jax.device_put(leaf, NamedSharding(mesh, _leaf_spec(path,
+                                                                   leaf)))
+    return jax.tree_util.tree_map_with_path(put, state)
 
 
 def state_shardings(state, mesh: Mesh):
     """Matching NamedSharding pytree (for jit in_shardings/out_shardings)."""
-    def spec(leaf):
-        nd = getattr(leaf, "ndim", 0)
-        if nd == 4:
-            return NamedSharding(mesh, field_spec(4, leading_batch=True))
-        if nd >= 2:
-            return NamedSharding(mesh, field_spec(nd))
-        return NamedSharding(mesh, P())
-    return jax.tree.map(spec, state)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)),
+        state)
