@@ -96,3 +96,27 @@ class TestPeriodicEB:
         vol_per_slab = grid.xlen * grid.ylen * grid.dzf
         total = float(jnp.sum(dthl * vol_per_slab))
         assert abs(total - (-5.0)) < 0.5
+
+
+class TestNudgeWiring:
+    def test_nudge_in_step(self):
+        """Regression: lnudge runs inside Model.step with the slab averages
+        from thermodynamics (example-201 configuration; modforces.f90:826)."""
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg, physics=dataclasses.replace(
+                cfg.physics, lnudge=True, nnudge=4, tnudge=100.0,
+                ltempeq=True))
+        model = make_model(cfg)
+        nz = model.grid.ktot
+
+        class _Ins:
+            prof = dict(u=np.full(nz, 2.0), v=np.zeros(nz),
+                        thl=np.full(nz, 288.0), qt=np.zeros(nz))
+        model.inputs = _Ins()
+        state = init_state(model, amp=0.0)
+        s2 = jax.jit(model.step)(state)
+        assert np.isfinite(np.asarray(s2.c.u)).all()
+        # u starts at 1, nudged toward 2 in the top slabs: tendency > 0 there
+        du = np.asarray(s2.c.u - state.c.u).mean(axis=(0, 1))
+        assert du[-1] > 0

@@ -288,7 +288,10 @@ class Model:
             if nprofs is not None:
                 nu, nv, nthl, nqt = nudge_top(c, grid, cfg, nprofs["u"],
                                               nprofs["v"], nprofs["thl"],
-                                              nprofs["qt"])
+                                              nprofs["qt"], u0av=th.u0av,
+                                              v0av=th.v0av,
+                                              thl0av=th.thl0av,
+                                              qt0av=th.qt0av)
                 du, dv = du + nu, dv + nv
                 dthl, dqt = dthl + nthl, dqt + nqt
 
@@ -724,6 +727,14 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
     elif cfg.bc.BCxm == BC_DRIVER:
         from .ops.openbc import load_driver_inlet
         dpath = case_dir / f"driverdata.{cfg.driver.driverjobnr:03d}.h5"
+        if not dpath.exists():
+            raise FileNotFoundError(
+                f"{dpath}: driver-inlet case (idriver=2) needs the inlet "
+                f"planes recorded by first running the precursor case "
+                f"(idriver=1, experiment {cfg.driver.driverjobnr:03d}) with "
+                f"this framework, or synthesizing them with "
+                f"udales_tpu.prep.syntheticinflow (moddriver.f90:750 "
+                f"readdriverfile analogue)")
         model.inlet = load_driver_inlet(dpath, grid.dtype)
     elif cfg.driver.iinletgen == 1:
         # rescale-recycle turbulent inlet (modinlet.f90, iinletgen=1)
