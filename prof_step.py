@@ -4,7 +4,6 @@ Times: full step, poisson solve alone, one substep without poisson.
 """
 import time
 import jax
-import jax.numpy as jnp
 from __graft_entry__ import _build, _init_state
 
 
@@ -29,7 +28,6 @@ def main():
     print(f"full step      : {t_step*1e3:8.2f} ms")
 
     # poisson alone: build the same inputs the substep builds
-    import dataclasses
     from udales_tpu.ops import subgrid as sgs
     from udales_tpu.run import _velocity_ghosts
 
@@ -47,6 +45,8 @@ def main():
         print("poisson-only timing skipped:", type(e).__name__, e)
 
     def closure_only(s):
+        # times the closure on s.m (start-of-step fields); the real substep
+        # evaluates on s.c — identical shapes/cost, so this is representative
         g = _velocity_ghosts(s.m, model.cfg, model.grid)
         from udales_tpu.run import thermodynamics
         th = thermodynamics(s.m, model.cfg, model.grid,
