@@ -139,7 +139,12 @@ class Model:
         return st
 
     # -- one RK3 substep ---------------------------------------------------
-    def substep(self, state: State, rk3step: int) -> State:
+    def substep(self, state: State, rk3step: int, th: ThermoDiag | None = None,
+                closure_out=None) -> State:
+        """One substep.  `th`/`closure_out` let `step` hand down the
+        diagnostics it already computed on `m` for the adaptive dt — valid
+        only for rk3step==1, where c == m (tstep_integrate copies c -> m on
+        substep 3, modtstep.f90:213), and saves a full closure sweep."""
         cfg, grid = self.cfg, self.grid
         nx, ny, nz = grid.shape
         c, m = state.c, state.m
@@ -152,7 +157,8 @@ class Model:
         # --- thermodynamics diagnostics (program.f90:215 runs at the end of
         # the previous substep; functionally identical evaluated here) ------
         masks = self.ibm.masks if self.ibm is not None else None
-        th = thermodynamics(c, cfg, grid, masks)
+        if th is None:
+            th = thermodynamics(c, cfg, grid, masks)
 
         # --- open-x inlet/outlet context (modboundary.f90:688-996) ---------
         openx = None
@@ -176,10 +182,14 @@ class Model:
             vouttot = vouttot_value(cfg, th.v0av, grid)
 
         # --- SGS closure (modsubgrid.closure) ------------------------------
-        gvel = _velocity_ghosts(c, cfg, grid, openx, openy)
         thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
-        ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
-                                    dthvdz=th.dthvdz, thl=c.thl, thvs=thvs)
+        if closure_out is None:
+            gvel = _velocity_ghosts(c, cfg, grid, openx, openy)
+            ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
+                                        dthvdz=th.dthvdz, thl=c.thl,
+                                        thvs=thvs)
+        else:
+            ekm, ekh, zlt = closure_out
 
         g = make_ghosts(c, ekm, ekh, cfg, grid, openx=openx, openy=openy)
 
@@ -584,11 +594,20 @@ class Model:
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(state.m, self.cfg, self.grid, masks)
         thvs = self.cfg.bc.thls if self.cfg.bc.thls > 0 else 288.0
-        ekm, ekh, _ = sgs.closure(gvel, self.grid, self.cfg, e12=state.m.e12,
-                                  dthvdz=th.dthvdz, thl=state.m.thl, thvs=thvs)
+        ekm, ekh, zlt = sgs.closure(gvel, self.grid, self.cfg,
+                                    e12=state.m.e12, dthvdz=th.dthvdz,
+                                    thl=state.m.thl, thvs=thvs)
         dt = self.new_dt(state, ekm, ekh)
         state = state.replace(dt=dt, timee=state.timee + dt)
-        for rk3step in (1, 2, 3):
+        # c == m at step entry, so substep 1 reuses the diagnostics computed
+        # for the adaptive dt instead of re-sweeping closure+thermodynamics.
+        # With open boundaries the velocity ghosts are time-interpolated
+        # inlet planes and timee just advanced, so recompute the closure
+        # there (th is ghost-free and stays exact).
+        closed = openx0 is None and openy0 is None
+        state = self.substep(state, 1, th=th,
+                             closure_out=(ekm, ekh, zlt) if closed else None)
+        for rk3step in (2, 3):
             state = self.substep(state, rk3step)
         # facet energy balance fires every dtEB (quantized), modEB.f90:429
         if self.eb is not None and state.fac is not None:
