@@ -159,3 +159,61 @@ class TestReconstruction:
         assert np.isclose(float(uu[0]), 6.0, atol=1e-12)
         assert np.isclose(float(Ta[0]), 303.0, atol=1e-12)
         assert np.isclose(float(vv[0]), 0.0, atol=1e-12)
+
+
+class TestWritefac:
+    """lwritefac facet stress/pressure output (modibm.f90:198-247,
+    1416-1430, 1475-1476, 1539-1540)."""
+
+    @pytest.fixture(scope="class")
+    def model_wf(self):
+        import dataclasses
+        from udales_tpu.config import load_namoptions
+        from udales_tpu.grid import Grid
+        from udales_tpu.ibm.ibm import IBM
+        from udales_tpu.io.inputs import CaseInputs
+        from udales_tpu.run import Model
+        cfg = load_namoptions(CASE / "namoptions.101")
+        cfg = dataclasses.replace(
+            cfg, walls=dataclasses.replace(cfg.walls, lwritefac=True))
+        dom = cfg.domain
+        grid = Grid.from_prof_inp(CASE / "prof.inp.101", dom.itot, dom.jtot,
+                                  dom.ktot, dom.xlen, dom.ylen,
+                                  dtype=np.float32)
+        inputs = CaseInputs.load(CASE, "101", dom.ktot, cfg.scalars.nsv)
+        ibm = IBM.load(CASE, "101", cfg, grid)
+        return Model(cfg, grid, inputs, ibm)
+
+    def test_accumulation_and_write(self, model_wf, tmp_path):
+        import dataclasses
+        model = model_wf
+        state = model.cold_start(seed=3)
+        assert state.facstats is not None
+        s = jax.jit(model.step)(state)
+        fs = s.facstats
+        tau_x = np.asarray(fs.tau_x)
+        # canyon walls feel x-stress on some facets; floor facets (z-normal)
+        # appear in tau_x via u-sections below them
+        assert np.isfinite(tau_x).all()
+        assert np.abs(tau_x).max() > 0
+        # pressure accumulators picked up pres0 (nonzero after projection)
+        assert np.abs(np.asarray(fs.pres)).max() > 0
+        # dt-weighting: one substep-3 accumulation of dt * <tau>
+        dt = float(s.dt)
+        assert np.abs(tau_x).max() < dt * 10.0
+
+        # write + reset via the Simulation writer path
+        from udales_tpu.sim import Simulation
+        sim = Simulation(model, outdir=tmp_path, monitor=False)
+        s2 = sim._write_facstats(s, float(s.timee))
+        assert float(np.abs(np.asarray(s2.facstats.tau_x)).max()) == 0.0
+        sim.facstatwriter.close()
+        from udales_tpu.post import NCData
+        d = NCData(tmp_path / "fac.101.nc")
+        assert set(("tau_x", "tau_y", "tau_z", "pres", "htc", "cth",
+                    "pres_flc")) <= set(d.variables())
+        # written mean = accumulated/interval
+        tint = float(s.timee)
+        assert np.allclose(d["tau_x"][0], tau_x / tint, rtol=1e-5,
+                           atol=1e-12)
+        d.close()

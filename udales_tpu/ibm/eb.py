@@ -40,6 +40,8 @@ def qsat_fn(T):
 class FacetState:
     """Per-facet prognostic state carried in the solver State."""
     T: Any        # (nfcts, nlyr+1) layer temperatures
+    Tdash: Any    # (nfcts, nlyr+1) interface temperature gradients dT/dz
+                  # (facTdash, modEB.f90:504-505; written to facT.nc)
     hfi: Any      # (nfcts,) time-integrated sensible heat [K m^3]
     efi: Any      # (nfcts,) time-integrated latent flux
     wsoil: Any    # (nfcts,) green-roof soil moisture
@@ -199,8 +201,8 @@ class FacetEB:
             dense = self.ibm.rebuild_dense_surf(self.T0[:, 0], qsat0,
                                                 hurel, f)
         return FacetState(
-            T=self.T0, hfi=z, efi=z, wsoil=wsoil, hurel=hurel,
-            qsat=qsat0, f=f,
+            T=self.T0, Tdash=jnp.zeros_like(self.T0), hfi=z, efi=z,
+            wsoil=wsoil, hurel=hurel, qsat=qsat0, f=f,
             tnextEB=jnp.asarray(self.cfg.eb.dtEB, self.dtype),
             tEB_last=jnp.asarray(0.0, self.dtype), dense=dense)
 
@@ -280,13 +282,19 @@ class FacetEB:
         Tnew = jnp.linalg.solve(HHs, rhs[..., None])[..., 0]
         Tnew = jnp.where(self.model_mask[:, None], Tnew, fstate.T)
 
+        # interface gradients facTdash = inAM (bb + BM Tnew)
+        # (modEB.f90:503-505); ground heat flux is -lam*Tdash[:,0]
+        w2 = jnp.einsum("fij,fj->fi", BM, Tnew)
+        Tdash = jnp.einsum("ij,fj->fi", inAM, bb + w2)
+        Tdash = jnp.where(self.model_mask[:, None], Tdash, fstate.Tdash)
+
         qsat_new = qsat_fn(Tnew[:, 0]).astype(fstate.qsat.dtype)
         dense = fstate.dense
         if getattr(self, "ibm", None) is not None and dense is not None:
             dense = self.ibm.rebuild_dense_surf(Tnew[:, 0], qsat_new,
                                                 hurel, f, dense=dense_tbl)
         return FacetState(
-            T=Tnew, hfi=jnp.zeros_like(fstate.hfi),
+            T=Tnew, Tdash=Tdash, hfi=jnp.zeros_like(fstate.hfi),
             efi=jnp.zeros_like(fstate.efi), wsoil=wsoil, hurel=hurel,
             qsat=qsat_new, f=f,
             tnextEB=jnp.round(timee + cfg.eb.dtEB).astype(fstate.tnextEB.dtype),

@@ -395,9 +395,10 @@ class IBM:
             if cfg.physics.lmoist and cfg.walls.iwallmoist == 2:
                 d["lGR"] = densify(self.faclGR_dev[fid].astype(np.float64),
                                    0.0)
-            # per-section flat indices into the (K,)+shape flux stack — used
-            # only for the per-facet EB flux sums (one gather + one
-            # segment_sum, gated to the EB substep)
+        if which == "c" or cfg.walls.lwritefac:
+            # per-section flat indices into the (K,)+shape slot stacks — used
+            # for the per-facet EB flux sums and the lwritefac facet-stress
+            # output (one gather + one segment_sum, gated to substep 3)
             d["_hsec_idx"] = jnp.asarray(slot * N + flat, jnp.int32)
             d["_hsec_fac"] = jnp.asarray(fid, jnp.int32)
             d["_hsec_area"] = jnp.asarray(area, g.dtype)
@@ -452,15 +453,17 @@ class IBM:
     # ------------------------------------------------------------------
     def wallfun(self, g, c, grid: Grid, cfg: Config,
                 du, dv, dw, dthl, dqt, dsv, fac=None, bctf=None,
-                need_fac: bool = False, ibmp=None):
+                need_fac: bool = False, ibmp=None,
+                need_facstats: bool = False, pres=None):
         """Facet-section wall stresses + heat fluxes + diffusion corrections
         (modibm.f90:1167-1283).
 
         Returns tendencies + per-facet flux sums fachf/facef ((nfcts,) or
         None unless `need_fac`) + domain-total sensible/latent wall fluxes
-        hf_tot/ef_tot (always; for periodicEBcorr).  Hot path is fully dense
-        (see `_prep`); the sparse path only covers reconstruction-point
-        sections."""
+        hf_tot/ef_tot (always; for periodicEBcorr) + the lwritefac facet
+        diagnostics dict (None unless `need_facstats`; modibm.f90:1416-1430,
+        1475-1476, 1539-1540).  Hot path is fully dense (see `_prep`); the
+        sparse path only covers reconstruction-point sections."""
         facT = fac.T[:, 0] if fac is not None else self.facT
         ibmp = ibmp if ibmp is not None else self.params()
         dense = ibmp["dense"]
@@ -470,10 +473,28 @@ class IBM:
         fachf = facef = None
         zt = jnp.zeros((), c.u.dtype)
         hf_tot, ef_tot = zt, zt
+        fstats = {} if need_facstats else None
         if cfg.walls.iwallmom > 1:
-            du = du + self._wallfunmom_dense("u", g, cfg, surf, dense)
-            dv = dv + self._wallfunmom_dense("v", g, cfg, surf, dense)
-            dw = dw + self._wallfunmom_dense("w", g, cfg, surf, dense)
+            if need_facstats:
+                # fac_tau_{x,y,z}: per-facet signed stress sums / facet area
+                for which, key in (("u", "tau_x"), ("v", "tau_y"),
+                                   ("w", "tau_z")):
+                    t, slots = self._wallfunmom_dense(
+                        which, g, cfg, surf, dense, ret_slots=True)
+                    if which == "u":
+                        du = du + t
+                    elif which == "v":
+                        dv = dv + t
+                    else:
+                        dw = dw + t
+                    fstats[key] = (jnp.zeros(self.nfcts, c.u.dtype)
+                                   if slots is None else
+                                   self._facsum(dense[which], slots)
+                                   / self.faca)
+            else:
+                du = du + self._wallfunmom_dense("u", g, cfg, surf, dense)
+                dv = dv + self._wallfunmom_dense("v", g, cfg, surf, dense)
+                dw = dw + self._wallfunmom_dense("w", g, cfg, surf, dense)
             for which, add in (("u", 0), ("v", 1), ("w", 2)):
                 if self.dev[which] is not None:
                     t = self._wallfunmom(which, c, grid, cfg, facT)
@@ -487,10 +508,17 @@ class IBM:
         dv = dv + self._diffv_corr(g, grid)
         dw = dw + self._diffw_corr(g, grid)
         if cfg.physics.ltempeq or cfg.physics.lmoist:
-            hthl, hqt, hf_tot, ef_tot, fachf, facef = self._wallfunheat_dense(
-                g, c, cfg, surf, dense, fac, bctf, need_fac)
+            (hthl, hqt, hf_tot, ef_tot, fachf, facef,
+             heat_slots) = self._wallfunheat_dense(
+                g, c, cfg, surf, dense, fac, bctf, need_fac,
+                ret_slots=need_facstats)
             dthl = dthl + hthl
             dqt = dqt + hqt
+            if need_facstats and heat_slots is not None:
+                dnc = dense["c"]
+                for key in ("htc", "cth"):
+                    fstats[key] = (self._facsum(dnc, heat_slots[key])
+                                   / self.faca)
             if self.dev["c"] is not None:
                 sthl, sqt, sfhf, sfef = self._wallfunheat(
                     c, grid, cfg, facT, fac, bctf)
@@ -509,7 +537,36 @@ class IBM:
             gsv1 = jax.vmap(lambda s: s[1:-1, 1:-1, 1:-1])(g.sv)
             dsv = dsv + jax.vmap(
                 lambda gc: self._diffc_corr(gc, g.ekh, grid))(gsv1)
-        return du, dv, dw, dthl, dqt, dsv, fachf, facef, hf_tot, ef_tot
+        if need_facstats:
+            # fac_pres/fac_pres2: pres0 at the c-section cells
+            # (modibm.f90:1475-1476)
+            dnc = dense.get("c")
+            nf = self.nfcts
+            zf = jnp.zeros(nf, c.u.dtype)
+            if dnc is not None and pres is not None:
+                N = int(np.prod(pres.shape))
+                pcell = pres.ravel()[dnc["_hsec_idx"] % N]
+                pa = jax.ops.segment_sum(
+                    pcell * dnc["_hsec_area"], dnc["_hsec_fac"],
+                    num_segments=nf)
+                p2a = jax.ops.segment_sum(
+                    pcell * pcell * dnc["_hsec_area"], dnc["_hsec_fac"],
+                    num_segments=nf)
+                fstats["pres"] = (pa / self.faca).astype(c.u.dtype)
+                fstats["pres2"] = (p2a / self.faca).astype(c.u.dtype)
+            else:
+                fstats["pres"] = zf
+                fstats["pres2"] = zf
+            for key in ("tau_x", "tau_y", "tau_z", "htc", "cth"):
+                fstats.setdefault(key, zf)
+        return (du, dv, dw, dthl, dqt, dsv, fachf, facef, hf_tot, ef_tot,
+                fstats)
+
+    def _facsum(self, dn, slots):
+        """Per-facet area-weighted sum of a (K,)+shape slot stack."""
+        vals = slots.ravel()[dn["_hsec_idx"]] * dn["_hsec_area"]
+        return jax.ops.segment_sum(vals, dn["_hsec_fac"],
+                                   num_segments=self.nfcts)
 
     # -- dense hot path ---------------------------------------------------
     def _dense_uvwT(self, which, g, grid: Grid):
@@ -595,16 +652,19 @@ class IBM:
         utan = tx * uu + ty * vv + tz * ww
         return (tx, ty, tz), utan, ok
 
-    def _wallfunmom_dense(self, which, g, cfg: Config, surf, dense):
+    def _wallfunmom_dense(self, which, g, cfg: Config, surf, dense,
+                          ret_slots: bool = False):
         """Dense wallfunmom (modibm.f90:1286-1433): K-slot masked arithmetic,
-        no gathers/scatters."""
+        no gathers/scatters.  With `ret_slots` also returns the per-slot
+        signed stress (for the lwritefac facet output)."""
         grid = self.grid
         nx, ny, nz = grid.shape
         dtype = g.u.dtype
         shape = (nx, ny, nz + 1) if which == "w" else (nx, ny, nz)
         dn = dense[which]
         if dn is None:
-            return jnp.zeros(shape, dtype)
+            z = jnp.zeros(shape, dtype)
+            return (z, None) if ret_slots else z
         uu, vv, ww, Ta = self._dense_uvwT(which, g, grid)
         (tx, ty, tz), utan, ok = self._dense_tangent(dn, uu, vv, ww)
         if cfg.walls.iwallmom == 2:
@@ -619,12 +679,15 @@ class IBM:
         stress_dir = jnp.sign(ua) * jnp.abs(a * stress)
         # padding slots carry avol=0, so `ok` alone masks the rest
         contrib = jnp.where(ok, -stress_dir * dn["avol"], 0.0)
-        return jnp.sum(contrib, axis=0).astype(dtype)
+        out = jnp.sum(contrib, axis=0).astype(dtype)
+        if ret_slots:
+            return out, jnp.where(ok, stress_dir, 0.0)
+        return out
 
     def _wallfunheat_dense(self, g, c, cfg: Config, surf, dense, fac, bctf,
-                           need_fac):
+                           need_fac, ret_slots: bool = False):
         """Dense wallfunheat (modibm.f90:1436-1606). Returns
-        (dthl, dqt, hf_tot, ef_tot, fachf, facef)."""
+        (dthl, dqt, hf_tot, ef_tot, fachf, facef, heat_slots)."""
         grid = self.grid
         nx, ny, nz = grid.shape
         dtype = c.thl.dtype
@@ -633,7 +696,7 @@ class IBM:
         nf0 = jnp.zeros(self.nfcts, dtype) if need_fac else None
         dn = dense["c"]
         if dn is None:
-            return zfld, zfld, zt, zt, nf0, nf0
+            return zfld, zfld, zt, zt, nf0, nf0, None
         uu, vv, ww, Ta = self._dense_uvwT("c", g, grid)
         _, utan, ok = self._dense_tangent(dn, uu, vv, ww)
         valid = ok  # padding slots carry awgt=0/area=0
@@ -645,6 +708,7 @@ class IBM:
         fl = None
         mfl = None
         htc = jnp.zeros_like(utan)
+        cth = jnp.zeros_like(utan)
         if cfg.physics.ltempeq:
             if cfg.walls.iwalltemp == 1:
                 # fixed flux per orientation (modibm.f90:1519-1535; the
@@ -663,8 +727,9 @@ class IBM:
                         jnp.where(jnp.abs(n1 + 1) < e, bxm,
                         jnp.where(jnp.abs(n2 - 1) < e, bz, 0.0)))))
                 flux = flux * jnp.ones_like(utan)
+                cth = jnp.zeros_like(utan)
             else:
-                _, flux, htc = _heat_coef_flux_pre(
+                cth, flux, htc = _heat_coef_flux_pre(
                     utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
                     Ta, surf["c"])
             fl = jnp.where(valid, flux, 0.0)
@@ -704,7 +769,11 @@ class IBM:
                     num_segments=2 * self.nfcts)
                 fachf = tot[:self.nfcts].astype(dtype)
                 facef = tot[self.nfcts:].astype(dtype)
-        return dthl, dqt, hf_tot, ef_tot, fachf, facef
+        heat_slots = None
+        if ret_slots:
+            heat_slots = {"htc": jnp.where(valid, htc, 0.0),
+                          "cth": jnp.where(valid, cth, 0.0)}
+        return dthl, dqt, hf_tot, ef_tot, fachf, facef, heat_slots
 
     def _gather_uvw(self, which, c, grid):
         """Interpolated velocity vector + air temperature at the active

@@ -28,6 +28,7 @@ _CODES = {
     "s4": ("sca4", ("zt", "yt", "xt"), "M"),
     "s5": ("sca5", ("zt", "yt", "xt"), "M"),
     "pr": ("pres", ("zt", "yt", "xt"), "m^2/s^2"),
+    "p0": ("pres", ("zt", "yt", "xt"), "m^2/s^2"),  # reference code name
 }
 
 
@@ -71,7 +72,7 @@ class FieldDump:
                 data[name] = np.asarray(c.qt)
             elif code == "ql" and th is not None:
                 data[name] = np.asarray(th.ql0)
-            elif code == "pr":
+            elif code in ("pr", "p0"):
                 data[name] = np.asarray(state.pres)
             elif code.startswith("s") and code[1:].isdigit():
                 n = int(code[1:]) - 1

@@ -22,6 +22,10 @@ import numpy as np
 # Native checkpoints
 # ---------------------------------------------------------------------------
 
+_FAC_LEAVES = ("T", "Tdash", "hfi", "efi", "wsoil", "hurel", "qsat", "f",
+               "tnextEB", "tEB_last")
+
+
 def save_checkpoint(path: str | Path, state, ntrun: int = 0):
     import h5py
     with h5py.File(path, "w") as f:
@@ -33,9 +37,20 @@ def save_checkpoint(path: str | Path, state, ntrun: int = 0):
             for name in ("u", "v", "w", "thl", "qt", "e12", "sv"):
                 g.create_dataset(name, data=np.asarray(getattr(fields, name)))
         f.create_dataset("pres", data=np.asarray(state.pres))
+        # facet-EB state (the reference restarts facet temperatures via a
+        # re-written Tfacinit_layers.inp, initfac.f90:301-310; here the
+        # whole FacetState rides in the checkpoint)
+        if state.fac is not None:
+            g = f.create_group("fac")
+            for name in _FAC_LEAVES:
+                g.create_dataset(name,
+                                 data=np.asarray(getattr(state.fac, name)))
 
 
-def load_checkpoint(path: str | Path, grid, dtype=None):
+def load_checkpoint(path: str | Path, grid, dtype=None, model=None):
+    """Rebuild a State from a native checkpoint.  Pass `model` to restore
+    the facet-EB state (its derived dense surface stacks are rebuilt from
+    the model's IBM)."""
     import h5py
     import jax.numpy as jnp
     from ..state import Fields, State
@@ -45,10 +60,29 @@ def load_checkpoint(path: str | Path, grid, dtype=None):
             return Fields(**{name: jnp.asarray(g[name][()])
                              for name in ("u", "v", "w", "thl", "qt",
                                           "e12", "sv")})
-        return State(m=fields("m"), c=fields("c"),
-                     pres=jnp.asarray(f["pres"][()]),
-                     dt=jnp.asarray(f.attrs["dt"]),
-                     timee=jnp.asarray(f.attrs["timee"]))
+        fac = None
+        if "fac" in f and model is not None and model.eb is not None:
+            from ..ibm.eb import FacetState
+            g = f["fac"]
+            leaves = {name: jnp.asarray(g[name][()]) for name in _FAC_LEAVES}
+            dense = None
+            if model.eb is not None and getattr(model.eb, "ibm", None):
+                dense = model.eb.ibm.rebuild_dense_surf(
+                    leaves["T"][:, 0], leaves["qsat"], leaves["hurel"],
+                    leaves["f"])
+            fac = FacetState(dense=dense, **leaves)
+        st = State(m=fields("m"), c=fields("c"),
+                   pres=jnp.asarray(f["pres"][()]),
+                   dt=jnp.asarray(f.attrs["dt"]),
+                   timee=jnp.asarray(f.attrs["timee"]),
+                   fac=fac)
+    if model is not None:
+        st = model.attach_params(st)
+        if model.cfg.walls.lwritefac and model.ibm is not None:
+            from ..state import zero_facstats
+            st = st.replace(facstats=zero_facstats(model.ibm.nfcts,
+                                                   grid.dtype))
+    return st
 
 
 # ---------------------------------------------------------------------------

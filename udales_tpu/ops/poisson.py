@@ -124,18 +124,32 @@ def _dctII_matrix(n):
     return 2.0 * np.cos(np.pi * k * (2 * m + 1) / (2 * n))
 
 
-def _mm(x, M, axis, out_axis_name="f"):
-    """Apply matrix M (out,in) along `axis` of x via einsum (MXU matmul).
+def _poisson_precision():
+    """MXU accumulation scheme for the transform matmuls.
 
     Precision.HIGHEST forces full-f32 accumulation (bf16x6 passes on the
     MXU) — the default bf16 matmul loses ~3 decimal digits, which showed up
-    directly as O(1e-4) divergence after the pressure projection."""
+    directly as O(1e-4) divergence after the pressure projection.  The
+    bf16x3 scheme (UDALES_POIS_PREC=x3) halves the MXU work and measures
+    ~1e-6 post-projection divergence — set it when that tolerance is
+    acceptable."""
+    import os
+    if os.environ.get("UDALES_POIS_PREC", "").lower() == "x3":
+        try:
+            return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+        except AttributeError:  # older jax
+            return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.HIGHEST
+
+
+def _mm(x, M, axis, out_axis_name="f"):
+    """Apply matrix M (out,in) along `axis` of x via einsum (MXU matmul)."""
     letters = "abcde"
     nd = x.ndim
     subs_in = "".join(letters[i] for i in range(nd))
     subs_out = subs_in.replace(letters[axis], "F")
     return jnp.einsum(f"{subs_in},F{letters[axis]}->{subs_out}", x, M,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_poisson_precision())
 
 
 class PoissonSolver:

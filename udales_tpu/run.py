@@ -123,6 +123,10 @@ class Model:
         fac = self.eb.initial_state() if self.eb is not None else None
         st = initial_state(grid, f, dt0=dt0, fac=fac)
         st = self.attach_params(st)
+        if cfg.walls.lwritefac and self.ibm is not None:
+            from .state import zero_facstats
+            st = st.replace(facstats=zero_facstats(self.ibm.nfcts,
+                                                   grid.dtype))
         if cfg.physics.ifixuinf == 2:
             from .state import Ctl
             z = jnp.zeros((), grid.dtype)
@@ -311,16 +315,31 @@ class Model:
                 if self.timedep is not None else None)
         if self.ibm is not None:
             need_fac = fac is not None and rk3step == 3
+            need_fstats = (cfg.walls.lwritefac and rk3step == 3
+                           and state.facstats is not None)
             (du, dv, dw, dthl, dqt, dsv, fachf, facef, hf_tot,
-             ef_tot) = self.ibm.wallfun(
+             ef_tot, fstats) = self.ibm.wallfun(
                 g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac, bctf,
-                need_fac=need_fac, ibmp=state.ibmp)
+                need_fac=need_fac, ibmp=state.ibmp,
+                need_facstats=need_fstats, pres=state.pres)
             # intqH (modEB.f90:220-247): accumulate facet fluxes in time on
             # the last substep
             if need_fac:
                 fac = dataclasses.replace(
                     fac, hfi=fac.hfi + dt * fachf,
                     efi=fac.efi + dt * facef)
+            # lwritefac dt-weighted accumulation (modibm.f90:1246-1254)
+            if need_fstats:
+                fs = state.facstats
+                state = state.replace(facstats=dataclasses.replace(
+                    fs,
+                    tau_x=fs.tau_x + dt * fstats["tau_x"],
+                    tau_y=fs.tau_y + dt * fstats["tau_y"],
+                    tau_z=fs.tau_z + dt * fstats["tau_z"],
+                    pres=fs.pres + dt * fstats["pres"],
+                    pres2=fs.pres2 + dt * fstats["pres2"],
+                    htc=fs.htc + dt * fstats["htc"],
+                    cth=fs.cth + dt * fstats["cth"]))
             # periodic heat-buildup sink (modforces.periodicEBcorr)
             if cfg.eb.lperiodicEBcorr:
                 from .ops.forces import periodic_eb_corr

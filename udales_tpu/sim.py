@@ -117,6 +117,8 @@ class Simulation:
                          nfcts=model.eb.nfcts,
                          nlayers=self.cfg.eb.nfaclyrs + 1)
             w.define("T", ("facet", "layer"), "K", "Temperature")
+            w.define("dTdz", ("facet", "layer"), "K/m",
+                     "Temperature gradient")
             w2 = NCWriter(self.outdir / f"facEB.{exp}.nc",
                           nfcts=model.eb.nfcts)
             w2.define("netsw", ("facet",), "W/m^2", "Net shortwave")
@@ -127,6 +129,24 @@ class Simulation:
             w2.define("WGR", ("facet",), "?", "Water content")
             self.facwriter = (w, w2)
             self._last_facwrite = 0.0
+        # fac.<exp>.nc facet stress/pressure output (lwritefac,
+        # modibm.f90:198-247)
+        self.facstatwriter = None
+        if self.cfg.walls.lwritefac and model.ibm is not None:
+            from .io.netcdf import NCWriter
+            exp = f"{self.cfg.run.iexpnr:03d}"
+            wf = NCWriter(self.outdir / f"fac.{exp}.nc",
+                          nfcts=model.ibm.nfcts)
+            wf.define("tau_x", ("facet",), "m^2/s^2", "tau_x")
+            wf.define("tau_y", ("facet",), "m^2/s^2", "tau_y")
+            wf.define("tau_z", ("facet",), "m^2/s^2", "tau_z")
+            wf.define("pres", ("facet",), "m^2/s^2", "pressure")
+            wf.define("htc", ("facet",), "", "heat transfer coefficient")
+            wf.define("cth", ("facet",), "",
+                      "heat transfer coefficient (Ivo)")
+            wf.define("pres_flc", ("facet",), "", "pressure fluctuation")
+            self.facstatwriter = wf
+            self.tnextfacstat = self.cfg.walls.dtfac
         self.monitor = monitor
         self.tnextrestart = self.cfg.run.trestart
         self.ntrun = 0
@@ -185,6 +205,11 @@ class Simulation:
                     and t >= self._last_facwrite + self.cfg.eb.dtEB):
                 self._last_facwrite = t
                 self._write_fac(state, t)
+            if (self.facstatwriter is not None
+                    and state.facstats is not None
+                    and t >= self.tnextfacstat):
+                state = self._write_facstats(state, t)
+                self.tnextfacstat = round(t + self.cfg.walls.dtfac)
             if t >= self.tnextrestart:
                 self.tnextrestart += cfg.run.trestart
                 self._write_restart(state)
@@ -202,6 +227,8 @@ class Simulation:
             self.xytdump.close()
         if self.driver_rec is not None:
             self.driver_rec.save()
+        if self.facstatwriter is not None:
+            self.facstatwriter.close()
         for extra in (self.tdump, self.ytdump, self.slices, self.tkedump,
                       self.xydump, self.ydump, self.mintdump, self.treedump):
             if extra is not None:
@@ -209,6 +236,31 @@ class Simulation:
         if prof_ctx is not None:
             jax.profiler.stop_trace()
         return state
+
+    def _write_facstats(self, state, t):
+        """fac.<exp>.nc write (modibm.f90:1256-1280): normalize the
+        dt-weighted sums by the elapsed interval, write, reset.  The
+        pressure fluctuation is the proper interval variance
+        <p^2> - <p>^2 (the reference's expression at modibm.f90:1265 mixes
+        dtfac and tfac in the mean-square term; deliberate deviation)."""
+        import numpy as np
+        from .state import zero_facstats
+        fs = state.facstats
+        tint = max(t - float(fs.tlast), 1e-9)
+        avg = lambda a: np.asarray(a) / tint
+        pav = avg(fs.pres)
+        self.facstatwriter.append(t, {
+            "tau_x": avg(fs.tau_x), "tau_y": avg(fs.tau_y),
+            "tau_z": avg(fs.tau_z), "pres": pav,
+            "htc": avg(fs.htc), "cth": avg(fs.cth),
+            "pres_flc": avg(fs.pres2) - pav * pav,
+        })
+        nf = len(np.asarray(fs.tau_x))
+        fresh = zero_facstats(nf, self.model.grid.dtype)
+        import dataclasses
+        fresh = dataclasses.replace(fresh, tlast=jnp.asarray(
+            t, self.model.grid.dtype))
+        return state.replace(facstats=fresh)
 
     def _write_fac(self, state, t):
         """facT/facEB outputs (modEB.f90:510-532)."""
@@ -218,7 +270,7 @@ class Simulation:
         fac = state.fac
         wT, wEB = self.facwriter
         T = np.asarray(fac.T)
-        wT.append(t, {"T": T})
+        wT.append(t, {"T": T, "dTdz": np.asarray(fac.Tdash)})
         em = np.asarray(eb.facem)
         wEB.append(t, {
             "netsw": np.asarray(eb.netsw),
@@ -234,9 +286,10 @@ class Simulation:
         save_checkpoint(name, state, self.ntrun)
 
     def _checksim(self, state, nsteps, wall0):
-        """Runtime monitor (modchecksim.f90:76-205): Courant number and max
-        divergence."""
+        """Runtime monitor (modchecksim.f90:76-205): Courant number,
+        diffusion number, and max divergence."""
         grid = self.model.grid
+        cfg = self.model.cfg
         c = state.c
         nz = grid.ktot
         cour = float(jnp.max(
@@ -249,9 +302,25 @@ class Simulation:
                + (gv[:, 1:] - gv[:, :-1]) * grid.dyi
                + (c.w[:, :, 1:] - c.w[:, :, :-1])
                * jnp.asarray(grid.j("dzfi"))[None, None, :])
+        # diffusion number (modchecksim.calcdiffnr:129-160): recompute the
+        # closure on the current fields, max over ekm AND ekh
+        from udales_tpu.ops import subgrid as sgs
+        from udales_tpu.ops.thermo import thermodynamics
+        from udales_tpu.run import _velocity_ghosts
+        th = thermodynamics(c, cfg, grid,
+                            self.model.ibm.masks if self.model.ibm else None)
+        gvel = _velocity_ghosts(c, cfg, grid)
+        thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
+        ekm, ekh, _ = sgs.closure(gvel, grid, cfg, e12=c.e12,
+                                  dthvdz=th.dthvdz, thl=c.thl, thvs=thvs)
+        dzh2i = jnp.asarray(grid.j("dzh2i"))[:nz][None, None, :]
+        diffnr = float(jnp.maximum(
+            jnp.max(ekm * (dzh2i + grid.dx2i + grid.dy2i)),
+            jnp.max(ekh * (dzh2i + grid.dx2i + grid.dy2i))) * state.dt)
         rate = nsteps / max(time.time() - wall0, 1e-9)
         print(f"  t={float(state.timee):9.2f}s dt={float(state.dt):.4f} "
-              f"CFL={cour:.3f} max|div|={float(jnp.abs(div).max()):.2e} "
+              f"CFL={cour:.3f} diffnr={diffnr:.3f} "
+              f"max|div|={float(jnp.abs(div).max()):.2e} "
               f"[{rate:.1f} steps/s]", flush=True)
 
 
@@ -293,7 +362,7 @@ def main(argv=None):
             from .io.restart import load_checkpoint
             ck = case / model.cfg.run.startfile
             ck = ck if ck.exists() else Path(outdir) / model.cfg.run.startfile
-            state = load_checkpoint(ck, model.grid)
+            state = load_checkpoint(ck, model.grid, model=model)
         else:
             # reference Fortran unformatted restart files
             from .io.restart import warmstart_state

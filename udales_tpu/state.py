@@ -58,9 +58,33 @@ class State:
     ibmp: Any = None  # static IBM dense wall-function parameter stacks
                       # (IBM.params()); carried in State so the large arrays
                       # enter jit as arguments, not embedded HLO constants
+    facstats: Any = None  # FacStats accumulators for lwritefac runs
 
     def replace(self, **kw):
         return replace(self, **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FacStats:
+    """lwritefac facet-diagnostic accumulators (modibm.f90:114-127,
+    1246-1280): dt-weighted running sums of facet-area-averaged wall stress,
+    pressure, and heat-transfer coefficients, normalized by the elapsed
+    interval and written to fac.<exp>.nc every dtfac."""
+    tau_x: Any   # (nfcts,) sum dt * <tau_x>_facet
+    tau_y: Any
+    tau_z: Any
+    pres: Any
+    pres2: Any
+    htc: Any
+    cth: Any
+    tlast: Any   # scalar: time of the last fac write
+
+
+def zero_facstats(nfcts: int, dtype) -> FacStats:
+    z = lambda: jnp.zeros(nfcts, dtype)
+    return FacStats(tau_x=z(), tau_y=z(), tau_z=z(), pres=z(), pres2=z(),
+                    htc=z(), cth=z(), tlast=jnp.zeros((), dtype))
 
 
 @jax.tree_util.register_dataclass
