@@ -21,7 +21,7 @@ import dataclasses
 def make_cfg(**kw):
     dom = DomainConfig(itot=16, jtot=12, ktot=8, xlen=16.0, ylen=12.0)
     cfg = Config(domain=dom, dtype="float64",
-                 run=RunConfig(ladaptive=False, dtmax=0.02, randomize=False),
+                 run=RunConfig(ladaptive=False, dtmax=0.02, lrandomize=False),
                  walls=WallsConfig(lbottom=True),
                  bc=BCConfig(z0=0.01, z0h=0.001, thls=288.0))
     return dataclasses.replace(cfg, **kw)
@@ -225,7 +225,7 @@ class TestStep:
 
     def test_adaptive_dt(self):
         cfg = make_cfg(run=RunConfig(ladaptive=True, dtmax=5.0,
-                                     randomize=False))
+                                     lrandomize=False))
         model = make_model(cfg)
         state = init_state(model)
         s2 = jax.jit(model.step)(state)

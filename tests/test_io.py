@@ -125,7 +125,7 @@ class TestSimulation:
         cfg = dataclasses.replace(
             cfg,
             run=dataclasses.replace(cfg.run, ladaptive=False, dtmax=0.05,
-                                    trestart=0.2, randomize=True),
+                                    trestart=0.2, lrandomize=True),
             output=dataclasses.replace(cfg.output, lfielddump=True,
                                        tfielddump=0.1, fieldvars="u0,w0",
                                        lxytdump=True, tsample=0.05,
@@ -146,7 +146,7 @@ class TestSimulation:
         cfg = dataclasses.replace(
             cfg,
             run=dataclasses.replace(cfg.run, ladaptive=False, dtmax=0.05,
-                                    randomize=True),
+                                    lrandomize=True),
             output=dataclasses.replace(cfg.output, ltdump=True,
                                        lytdump=True, lkslicedump=True,
                                        lislicedump=True, kslice=2, islice=3,
@@ -176,7 +176,7 @@ class TestSimulation:
         cfg = dataclasses.replace(
             cfg,
             run=dataclasses.replace(cfg.run, ladaptive=False, dtmax=0.05,
-                                    randomize=True),
+                                    lrandomize=True),
             trees=dataclasses.replace(cfg.trees, ltrees=True),
             output=dataclasses.replace(cfg.output, lmintdump=True,
                                        ltreedump=True,

@@ -20,7 +20,7 @@ def make_open_model(nx=16, ny=12, nz=8, u0=1.0):
     cfg = Config(
         domain=DomainConfig(itot=nx, jtot=ny, ktot=nz, xlen=float(nx),
                             ylen=float(ny)),
-        run=RunConfig(ladaptive=False, dtmax=0.02, randomize=False),
+        run=RunConfig(ladaptive=False, dtmax=0.02, lrandomize=False),
         physics=PhysicsConfig(luvolflowr=False),
         walls=WallsConfig(lbottom=True),
         bc=BCConfig(BCxm=BC_PROFILE, BCxT=BC_PROFILE, BCxq=BC_PROFILE,
@@ -199,7 +199,7 @@ def make_open_y_model(nx=12, ny=16, nz=8, v0=1.0):
     cfg = Config(
         domain=DomainConfig(itot=nx, jtot=ny, ktot=nz, xlen=float(nx),
                             ylen=float(ny)),
-        run=RunConfig(ladaptive=False, dtmax=0.02, randomize=False),
+        run=RunConfig(ladaptive=False, dtmax=0.02, lrandomize=False),
         physics=PhysicsConfig(lvvolflowr=False),
         walls=WallsConfig(lbottom=True),
         bc=BCConfig(BCym=BC_PROFILE, BCyT=BC_PROFILE, BCyq=BC_PROFILE,

@@ -67,6 +67,12 @@ class DomainConfig:
     ylen: float = -1.0
     # z grid comes from prof.inp (cell-centre heights); a uniform fallback:
     zsize: float = -1.0
+    xlat: float = 52.0        # site latitude/longitude + date (&DOMAIN); used
+    xlon: float = 0.0         # by preprocessing (solar position), not the core
+    xday: float = 1.0
+    xtime: float = 0.0
+    ksp: int = -1             # lowest sponge-layer level, 1-based as in the
+                              # reference (modboundary.f90:47-49); -1 = default
 
 
 @dataclass(frozen=True)
@@ -79,10 +85,16 @@ class RunConfig:
     ladaptive: bool = False
     courant: float = -1.0     # <0 means scheme default (modglobal.f90:563-577)
     diffnr: float = 0.25
-    randomize: bool = True    # lrandomize
+    lrandomize: bool = True
     irandom: int = 43
     randu: float = 0.01
+    randthl: float = 0.0      # read by the reference (&RUN) but the current
+    randqt: float = 0.0       # code only randomizes u/v/w (modstartup.f90:1212)
     krand: int = 10**9        # capped at ktot
+    libm: bool = True         # master IBM switch (modglobal.f90:190)
+    lwalldist: bool = False   # accepted; unused by the reference solver too
+    lreadmean: bool = False
+    lper2inout: bool = False
     nprocx: int = 1           # informational; TPU mesh shape set separately
     nprocy: int = 1
     lwarmstart: bool = False
@@ -122,6 +134,16 @@ class PhysicsConfig:
     lmomsubs: bool = False    # subsidence acts on momentum too
     ds: float = 0.0           # shifted-PBC spanwise shift
     inletav: float = 0.0      # averaging time for the ifixuinf=2 controller
+    # time-dependent forcing switches (&PHYSICS, modtimedep.f90)
+    ltimedepsurf: bool = False
+    ntimedepsurf: int = 0
+    ltimedepnudge: bool = False
+    ntimedepnudge: int = 0
+    ltimedeplw: bool = False
+    ntimedeplw: int = 0
+    ltimedepsw: bool = False
+    ntimedepsw: int = 0
+    lconservativeibm: bool = False  # conservative cd2 scalar IBM correction
 
 
 @dataclass(frozen=True)
@@ -163,10 +185,22 @@ class BCConfig:
     bctfxp: float = 0.0
     bctfym: float = 0.0
     bctfyp: float = 0.0
+    # fixed IBM facet moisture fluxes for iwallmoist==1 (modibm.f90:1555-1570)
+    bcqfxm: float = 0.0
+    bcqfxp: float = 0.0
+    bcqfym: float = 0.0
+    bcqfyp: float = 0.0
+    bcqfz: float = 0.0
     wttop: float = 0.0
     wqtop: float = 0.0
     thl_top: float = -1.0
     qt_top: float = -1.0
+    qts: float = 0.0           # surface specific humidity; bottom qt0h value
+                               # (modthermodynamics.f90:536). The reference
+                               # defaults to the sentinel -1; 0 is used here so
+                               # dry runs get physical near-surface buoyancy.
+    wsvsurfdum: float = 0.0    # scalar surface/top fluxes: read by the
+    wsvtopdum: float = 0.0     # reference but unused downstream (accepted)
     wtsurf: float = -1.0
     wqsurf: float = -1.0
     thls: float = -1.0
@@ -196,6 +230,9 @@ class WallsConfig:
     iwalltemp: int = 1  # 1: fixed flux, 2: wall function
     iwallmoist: int = 1
     iwallscal: int = 1
+    prandtlturb: float = 0.71  # turbulent Prandtl in the Uno stability
+                               # functions (&WALLS, modglobal.f90:304)
+    fkar: float = 0.41         # von Karman constant (&WALLS; accepted)
     lbottom: bool = False
     lnorec: bool = False  # disable reconstruction-point interpolation
     lwritefac: bool = False
@@ -270,6 +307,15 @@ class DriverConfig:
     lchunkread: bool = False
     chunkread_size: int = 100
     iangledeg: float = 0.0
+    # &INLET legacy rescale-recycle generator options (modinlet.f90)
+    di: float = 0.0            # inlet BL thickness
+    dti: float = 0.0           # inlet thermal BL thickness
+    linletRA: bool = False     # running average instead of fixed inletav
+    lstoreplane: bool = False  # record inlet planes to file
+    lreadminl: bool = False
+    lfixinlet: bool = False    # freeze the mean inlet profiles
+    lfixutauin: bool = False   # freeze utau at the inlet
+    lwallfunc: bool = True
 
 
 @dataclass(frozen=True)
@@ -482,7 +528,10 @@ def load_namoptions(path: str | Path, dtype: str = "float32") -> Config:
         cfg,
         domain=_apply(cfg.domain, g.get("DOMAIN", {})),
         run=_apply(cfg.run, g.get("RUN", {})),
-        physics=_apply(cfg.physics, g.get("PHYSICS", {})),
+        # xlat/xlon live in &DOMAIN in the reference but drive coriolis
+        # (physics); apply DOMAIN keys to physics too so they land there.
+        physics=_apply(cfg.physics,
+                       {**g.get("DOMAIN", {}), **g.get("PHYSICS", {})}),
         dynamics=_apply(cfg.dynamics, g.get("DYNAMICS", {})),
         bc=_apply(cfg.bc, merged_bc),
         walls=_apply(cfg.walls, g.get("WALLS", {})),

@@ -61,7 +61,7 @@ def bottom_tendencies(g, cfg: Config, grid: Grid, nsv: int = 0):
         thl_at_u = 0.5 * (g.thl[1:-1, 1:-1, 1] + g.thl[0:-2, 1:-1, 1])
         dT = thl_at_u - thls
         Ribl0 = const.grav * delta * dT * 2.0 / ((2.0 * thls) * utangInt)
-        ctm = unom(logdz, logzh, sqdz, Ribl0)
+        ctm = unom(logdz, logzh, sqdz, Ribl0, cfg.walls.prandtlturb)
     tau_u = jnp.sign(u0) * jnp.abs(u0) * jnp.sqrt(utangInt) * ctm
     emom_u = (dzf_g[0] * (ekm0 + g.ekm[0:-2, 1:-1, 1])
               + dzf_g[1] * (ekm_g + g.ekm[0:-2, 1:-1, 0])) * dzhiq0
@@ -77,7 +77,8 @@ def bottom_tendencies(g, cfg: Config, grid: Grid, nsv: int = 0):
         thl_at_v = 0.5 * (g.thl[1:-1, 1:-1, 1] + g.thl[1:-1, 0:-2, 1])
         dT_v = thl_at_v - thls
         Ribl0_v = const.grav * delta * dT_v * 2.0 / ((2.0 * thls) * utangInt_v)
-        ctm_v = unom(logdz, logzh, sqdz, Ribl0_v)
+        ctm_v = unom(logdz, logzh, sqdz, Ribl0_v,
+                         cfg.walls.prandtlturb)
     tau_v = jnp.sign(v0) * jnp.abs(v0) * jnp.sqrt(utangInt_v) * ctm_v
     eomm_v = (dzf_g[0] * (ekm0 + g.ekm[1:-1, 0:-2, 1])
               + dzf_g[1] * (ekm_g + g.ekm[1:-1, 0:-2, 0])) * dzhiq0
@@ -92,7 +93,8 @@ def bottom_tendencies(g, cfg: Config, grid: Grid, nsv: int = 0):
             uInt = jnp.maximum(UMIN, u_at_c ** 2 + v_at_c ** 2)
             dT_c = thl0 - thls
             Ribl0_c = const.grav * delta * dT_c / (thls * uInt)
-            flux, _ = unoh(logdz, logzh, sqdz, uInt, dT_c, Ribl0_c)
+            flux, _ = unoh(logdz, logzh, sqdz, uInt, dT_c, Ribl0_c,
+                           cfg.walls.prandtlturb)
             dthl = dthl.at[:, :, 0].add(-flux * dzfi0)
         else:  # fixed flux (BCbotT_flux)
             wtsurf = cfg.bc.wtsurf if cfg.bc.wtsurf > -900 else 0.0

@@ -392,7 +392,9 @@ class IBM:
         if which == "c":
             dzh = np.asarray(g.j("dzh"))
             d["awgt"] = densify(area / (g.dx * g.dy * dzh[ijk[:, 2]]), 0.0)
-            if cfg.physics.lmoist and cfg.walls.iwallmoist == 2:
+            if cfg.physics.lmoist:
+                # needed by both moisture modes: green-roof gating applies to
+                # the fixed-flux (iwallmoist=1) branch too (modibm.f90:1555)
                 d["lGR"] = densify(self.faclGR_dev[fid].astype(np.float64),
                                    0.0)
         if which == "c" or cfg.walls.lwritefac:
@@ -670,7 +672,7 @@ class IBM:
         if cfg.walls.iwallmom == 2:
             ctm = _mom_coef_stability_pre(
                 utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
-                Ta, surf[which])
+                Ta, surf[which], cfg.walls.prandtlturb)
         else:
             ctm = dn["ctm_neutral"]
         stress = ctm * utan * utan
@@ -731,13 +733,28 @@ class IBM:
             else:
                 cth, flux, htc = _heat_coef_flux_pre(
                     utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
-                    Ta, surf["c"])
+                    Ta, surf["c"], cfg.walls.prandtlturb)
             fl = jnp.where(valid, flux, 0.0)
             dthl = -jnp.sum(fl * dn["awgt"], axis=0).astype(dtype)
             hf_tot = jnp.sum(fl * areaK).astype(dtype)
 
         # latent heat on green-roof facets (modibm.f90:1555-1589)
-        if (cfg.physics.lmoist and fac is not None
+        if (cfg.physics.lmoist and cfg.walls.iwallmoist == 1
+                and "lGR" in dn):
+            # fixed moisture flux per orientation (modibm.f90:1556-1568)
+            b = cfg.bc
+            n0, n1, n2 = dn["n0"], dn["n1"], dn["n2"]
+            e = const.eps1
+            mflux = jnp.where(jnp.abs(n0 - 1) < e, b.bcqfxp,
+                     jnp.where(jnp.abs(n0 + 1) < e, b.bcqfxm,
+                     jnp.where(jnp.abs(n1 - 1) < e, b.bcqfyp,
+                     jnp.where(jnp.abs(n1 + 1) < e, b.bcqfym,
+                     jnp.where(jnp.abs(n2 - 1) < e, b.bcqfz, 0.0)))))
+            mfl = jnp.where(valid & (dn["lGR"] > 0.0),
+                            mflux * jnp.ones_like(utan), 0.0)
+            dqt = -jnp.sum(mfl * dn["awgt"], axis=0).astype(dtype)
+            ef_tot = jnp.sum(mfl * areaK).astype(dtype)
+        elif (cfg.physics.lmoist and fac is not None
                 and cfg.walls.iwallmoist == 2 and "qwall" in surf):
             qtair = 0.0 * utan + g.qt[1:-1, 1:-1, 1:-1]
             qwall, hurel = surf["qwall"], surf["hurel"]
@@ -1153,15 +1170,18 @@ class IBM:
         m_new = dataclasses.replace(
             m, u=m.u * self.masks.u, v=m.v * self.masks.v,
             w=m.w * self.masks.w)
+        corr = (self._advecc2nd_corr_conservative
+                if cfg.physics.lconservativeibm
+                else self._advecc2nd_corr_liberal)
         if cfg.physics.ltempeq:
             thlm, dthl = self.solid_fill(m.thl, dthl, thl0av_vmean)
             m_new = dataclasses.replace(m_new, thl=thlm)
-            if cfg.iadv_thl == 2:  # cd2: liberal advection correction
-                dthl = dthl + self._advecc2nd_corr_liberal(c.thl, c, grid)
+            if cfg.iadv_thl == 2:  # cd2: advection correction
+                dthl = dthl + corr(c.thl, c, grid)
         if cfg.physics.lmoist:
             qtm, dqt = self.solid_fill(m.qt, dqt, 0.0)
             m_new = dataclasses.replace(m_new, qt=qtm)
-            dqt = dqt + self._advecc2nd_corr_liberal(c.qt, c, grid)
+            dqt = dqt + corr(c.qt, c, grid)
         if dsv.shape[0] > 0:
             svm_list, dsv_list = [], []
             for n in range(dsv.shape[0]):
@@ -1171,6 +1191,59 @@ class IBM:
             m_new = dataclasses.replace(m_new, sv=jnp.stack(svm_list))
             dsv = jnp.stack(dsv_list)
         return du, dv, dw, dthl, dqt, dsv, m_new
+
+    def _advecc2nd_corr_conservative(self, var, c, grid: Grid):
+        """advecc2nd_corr_conservative (modibm.f90:889-933): remove the cd2
+        advective flux through any face whose face velocity or neighbouring
+        cell is solid. Unlike the liberal variant nothing is substituted, so
+        the scalar is conserved even when the projection leaves small nonzero
+        solid-face velocities."""
+        nx, ny, nz = grid.shape
+        Mc = self.pmask_c
+        Mu = self.pmask_u
+        Mv = self.pmask_v
+        Mw = self.pmask_w
+        vp = jnp.pad(var, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        vp = jnp.concatenate([vp[:, :, :1], vp, vp[:, :, -1:]], axis=2)
+        s = lambda a, di, dj, dk: a[1 + di: 1 + di + nx,
+                                    1 + dj: 1 + dj + ny,
+                                    1 + dk: 1 + dk + nz]
+        up = jnp.pad(c.u, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        vpv = jnp.pad(c.v, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+        u_ip = up[2:, 1:-1, :]       # u at face i+1
+        u_i = up[1:-1, 1:-1, :]
+        v_jp = vpv[1:-1, 2:, :]
+        v_j = vpv[1:-1, 1:-1, :]
+        w = c.w
+        from ..ops.stencil import kvec
+        dzf = grid.j("dzf_g")
+        dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+        dzhi = grid.j("dzhi")
+        dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+        dzfi5 = kvec(grid.j("dzfi5"), 0, nz)
+        vc = var
+        # face blocked when the face velocity OR the neighbour cell is solid
+        # (mask_u(i+1)<eps .or. mask_c(i+1)<eps, modibm.f90:907-929)
+        blk_e = 1.0 - s(Mu, 1, 0, 0) * s(Mc, 1, 0, 0)
+        blk_w = 1.0 - s(Mu, 0, 0, 0) * s(Mc, -1, 0, 0)
+        blk_n = 1.0 - s(Mv, 0, 1, 0) * s(Mc, 0, 1, 0)
+        blk_s = 1.0 - s(Mv, 0, 0, 0) * s(Mc, 0, -1, 0)
+        # Mw is the (nx,ny,nz+1) face mask padded in x/y (+1 top ghost)
+        wmask_t = Mw[1:-1, 1:-1, 1:nz + 1]
+        wmask_b = Mw[1:-1, 1:-1, :nz]
+        blk_t = 1.0 - wmask_t * s(Mc, 0, 0, 1)
+        blk_b = 1.0 - wmask_b * s(Mc, 0, 0, -1)
+        corr = (
+            blk_e * u_ip * (s(vp, 1, 0, 0) + vc) * grid.dxi5
+            - blk_w * u_i * (s(vp, -1, 0, 0) + vc) * grid.dxi5
+            + blk_n * v_jp * (s(vp, 0, 1, 0) + vc) * grid.dyi5
+            - blk_s * v_j * (s(vp, 0, -1, 0) + vc) * grid.dyi5
+            + blk_t * w[:, :, 1:]
+            * (s(vp, 0, 0, 1) * dzf_k + vc * dzf_kp) * dzhi_kp * dzfi5
+            - blk_b * w[:, :, :nz]
+            * (s(vp, 0, 0, -1) * dzf_k + vc * dzf_km) * dzhi_k * dzfi5
+        )
+        return corr * self.masks.c
 
     def _advecc2nd_corr_liberal(self, var, c, grid: Grid):
         """advecc2nd_corr_liberal (modibm.f90:936-987): replace the cd2

@@ -94,7 +94,11 @@ def grwdamp(c, grid: Grid, cfg: Config, u0av, v0av, thl0av, qt0av,
         return zero
     # tsc profile (initboundary:45-59), rnu0 = 2.75e-3
     rnu0 = 2.75e-3
-    ksp = max(min(3 * nz // 4, nz - 15), 1)
+    # lowest sponge level: &DOMAIN ksp (1-based as in the reference) or the
+    # default ksp = kb-1 + max(min(3*kmax/4, kmax-15), 1) (modboundary.f90:47)
+    ksp1 = cfg.domain.ksp if cfg.domain.ksp > 0 else \
+        max(min(3 * nz // 4, nz - 15), 1)
+    ksp = max(ksp1 - 1, 0)  # 0-based
     zf = grid.zf
     zspb, zspt = zf[ksp], zf[nz - 1]
     tsc = np.zeros(nz)

@@ -161,7 +161,8 @@ def thermodynamics(c, cfg: Config, grid: Grid, masks=None) -> ThermoDiag:
     IIw = masks.w if masks is not None else jnp.ones((nx, ny, nz + 1), dt)
 
     thls = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
-    qts = 0.0
+    # surface humidity (modsurfdata.f90:64; sentinel -1 treated as dry)
+    qts = cfg.bc.qts if cfg.bc.qts > 0 else 0.0
     thvs = thls * (1.0 + (const.rv / const.rd - 1.0) * qts)
     ps = cfg.physics.ps
 

@@ -105,7 +105,7 @@ class Model:
                                288.0 * np.ones(nz), np.zeros(nz),
                                const.e12min * np.ones(nz),
                                np.zeros((cfg.scalars.nsv, nz)))
-        if cfg.run.randomize:
+        if cfg.run.lrandomize:
             key = jax.random.PRNGKey(seed)
             f = randomize(f, key, cfg.run.randu,
                           min(cfg.run.krand, grid.ktot))
@@ -724,7 +724,7 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
                               dtype=np_dt)
     inputs = CaseInputs.load(case_dir, expnr, dom.ktot, cfg.scalars.nsv)
     ibm = None
-    if with_ibm and cfg.walls.nfcts > 0:
+    if with_ibm and cfg.run.libm and cfg.walls.nfcts > 0:
         from .ibm.ibm import IBM
         ibm = IBM.load(case_dir, expnr, cfg, grid)
     model = Model(cfg, grid, inputs, ibm)

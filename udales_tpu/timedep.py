@@ -42,14 +42,17 @@ class Timedep:
         case_dir = Path(case_dir)
         td = cls(dtype)
         found = False
+        # each series is gated by its &PHYSICS switch, as in the reference
+        # (modtimedep.f90:79-150 reads only the enabled blocks)
+        ph = cfg.physics
         p = case_dir / f"timedepsurf.inp.{expnr}"
-        if p.exists():
+        if ph.ltimedepsurf and p.exists():
             d = np.loadtxt(p, skiprows=2, ndmin=2)
             td.surf_t = jnp.asarray(d[:, 0], dtype)
             td.surf = jnp.asarray(d[:, 1:6], dtype)
             found = True
         p = case_dir / f"timedepnudge.inp.{expnr}"
-        if p.exists():
+        if ph.ltimedepnudge and p.exists():
             # format (modtimedep.f90:156-213): blocks per time, header lines
             # '# time', then nz rows of [z thl qt u v]
             raw = p.read_text().splitlines()
@@ -73,13 +76,13 @@ class Timedep:
                 td.nudge = jnp.asarray(arr, dtype)
                 found = True
         p = case_dir / f"timedeplw.inp.{expnr}"
-        if p.exists():
+        if ph.ltimedeplw and p.exists():
             d = np.loadtxt(p, skiprows=1, ndmin=2)
             td.lw_t = jnp.asarray(d[:, 0], dtype)
             td.skyLW = jnp.asarray(d[:, 1], dtype)
             found = True
         p = case_dir / f"timedepsw.inp.{expnr}"
-        if p.exists():
+        if ph.ltimedepsw and p.exists():
             d = np.loadtxt(p, skiprows=1, ndmin=2)
             td.sw_t = jnp.asarray(d[:, 0], dtype)
             td.netsw = jnp.asarray(d[:, 1:], dtype)
