@@ -83,6 +83,16 @@ class UDPost:
         self._load_grid()
         self._load_facet_data()
         self._load_facet_sections()
+        self._vis = None
+
+    @property
+    def vis(self):
+        """Visualization front-end, mirroring the reference's `sim.vis`
+        (tools/python/udvis/udbase_vis.py:37)."""
+        if self._vis is None:
+            from .vis import UDVis
+            self._vis = UDVis(self)
+        return self._vis
 
     # -- case inputs --------------------------------------------------------
     def _read_namoptions(self):
