@@ -63,3 +63,40 @@ def test_native_speed(stl):
         a.boundary_and_sections(which)
     t_numpy = time.time() - t0
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+class TestNativeRadiation:
+    """native/radiation.cpp vs prep/radiation.py — identical contracts."""
+
+    @pytest.fixture(scope="class")
+    def geom(self, stl):
+        from udales_tpu.prep.stl import read_stl
+        return read_stl(stl)
+
+    def test_view_factors_match(self, geom):
+        from udales_tpu.prep import native, radiation
+        tris, normals = geom
+        Fn, svfn = native.view_factors(tris, normals, subdiv=1)
+        Fp, svfp = radiation.view_factors(tris, normals, subdiv=1)
+        assert np.abs(Fn - Fp).max() < 1e-10
+        assert np.abs(svfn - svfp).max() < 1e-10
+        # enclosure property: rows sum to <= 1, svf complements
+        assert (Fn.sum(axis=1) <= 1.0 + 1e-12).all()
+
+    def test_view_factors_no_occlusion(self, geom):
+        from udales_tpu.prep import native, radiation
+        tris, normals = geom
+        Fn, _ = native.view_factors(tris, normals, subdiv=1,
+                                    occlusion=False)
+        Fp, _ = radiation.view_factors(tris, normals, subdiv=1,
+                                       occlusion=False)
+        assert np.abs(Fn - Fp).max() < 1e-10
+
+    def test_direct_shortwave_match(self, geom):
+        from udales_tpu.prep import native, radiation
+        tris, normals = geom
+        sun = radiation.solar_direction(35.0, 160.0)
+        Sn = native.direct_shortwave(tris, normals, sun, 800.0)
+        Sp = radiation.direct_shortwave(tris, normals, sun, 800.0)
+        assert np.abs(Sn - Sp).max() < 1e-8
+        assert (Sn >= 0).all() and Sn.max() <= 800.0 + 1e-9

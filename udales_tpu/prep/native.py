@@ -108,3 +108,69 @@ def cut_sections(tris, normals, facids, boxes, points, fluid,
             break
         cap = max(2 * cap, -n + 1000)
     return (of[:n], oa[:n], oi[:3 * n].reshape(n, 3), od[:n])
+
+
+# ---------------------------------------------------------------------------
+# Radiation kernels (native/radiation.cpp): View3D + directShortwave.f90
+# replacements, validated against prep/radiation.py in
+# tests/test_prep_native.py
+# ---------------------------------------------------------------------------
+
+_RAD_SRC = Path(__file__).resolve().parents[2] / "native" / "radiation.cpp"
+_RAD_SO = _RAD_SRC.with_name("libradiation.so")
+_rad_lib = None
+
+
+def get_radiation_lib():
+    global _rad_lib
+    if _rad_lib is not None:
+        return _rad_lib
+    if (not _RAD_SO.exists()
+            or _RAD_SO.stat().st_mtime < _RAD_SRC.stat().st_mtime):
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp",
+               "-o", str(_RAD_SO), str(_RAD_SRC)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            cmd = ["g++", "-O3", "-shared", "-fPIC",
+                   "-o", str(_RAD_SO), str(_RAD_SRC)]
+            subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_RAD_SO))
+    d = ctypes.POINTER(ctypes.c_double)
+    lib.view_factors.restype = None
+    lib.view_factors.argtypes = [d, d, ctypes.c_long, ctypes.c_int,
+                                 ctypes.c_int, d, d]
+    lib.direct_shortwave.restype = None
+    lib.direct_shortwave.argtypes = [d, d, ctypes.c_long, d,
+                                     ctypes.c_double, ctypes.c_int, d]
+    _rad_lib = lib
+    return lib
+
+
+def view_factors(tris, normals, subdiv: int = 1, occlusion: bool = True):
+    """Native view-factor matrix + sky view factors; same contract as
+    prep.radiation.view_factors but streaming (no (m,m) kernel in memory)
+    and OpenMP-parallel over facets."""
+    lib = get_radiation_lib()
+    tris = np.ascontiguousarray(tris, np.float64)
+    normals = np.ascontiguousarray(normals, np.float64)
+    nf = len(tris)
+    F = np.zeros((nf, nf), np.float64)
+    svf = np.zeros(nf, np.float64)
+    lib.view_factors(_dp(tris), _dp(normals), nf, int(subdiv),
+                     int(bool(occlusion)), _dp(F), _dp(svf))
+    return F, svf
+
+
+def direct_shortwave(tris, normals, sun_dir, I_dir: float,
+                     subdiv: int = 2):
+    """Native facet-averaged direct solar irradiance with shading; same
+    contract as prep.radiation.direct_shortwave."""
+    lib = get_radiation_lib()
+    tris = np.ascontiguousarray(tris, np.float64)
+    normals = np.ascontiguousarray(normals, np.float64)
+    sun = np.ascontiguousarray(sun_dir, np.float64)
+    out = np.zeros(len(tris), np.float64)
+    lib.direct_shortwave(_dp(tris), _dp(normals), len(tris), _dp(sun),
+                         float(I_dir), int(subdiv), _dp(out))
+    return out
