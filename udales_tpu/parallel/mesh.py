@@ -66,6 +66,13 @@ def _leaf_spec(path, leaf) -> P:
         return P()      # per-facet arrays: replicate
     if "ctl" in names:
         return P()
+    if "ig" in names:   # InletGen: y-z planes shard along y, Utav along x,
+        last = names[-1] if names else ""
+        if last in ("u0", "v0", "w0", "t0"):
+            return P("y", None)
+        if last == "Utav":
+            return P("x", None)
+        return P()      # profiles/scalars replicate
     if nd == 4:          # sv (nsv,nx,ny,nz) / ibmp stacks (K,nx,ny,nz[+1])
         return field_spec(4, leading_batch=True)
     if nd >= 2 and "ibmp" not in names and "fac" not in names:

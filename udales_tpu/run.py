@@ -49,6 +49,7 @@ class Model:
         self.mesh = mesh   # jax.sharding.Mesh for multi-chip runs
         self.eb = None     # FacetEB for energy-balance runs
         self.inlet = None  # ops.openbc.Inlet for open-x runs
+        self.igparams = None  # ops.inletgen.InletGenParams (iinletgen=1)
         self.inlet_y = None  # ops.openbc.Inlet for open-y runs (profile only)
         self.vegetation = None   # physics.Vegetation
         self.heatpumps = None    # physics.HeatPumps
@@ -123,6 +124,9 @@ class Model:
         fac = self.eb.initial_state() if self.eb is not None else None
         st = initial_state(grid, f, dt0=dt0, fac=fac)
         st = self.attach_params(st)
+        if self.igparams is not None:
+            from .ops.inletgen import init_inletgen
+            st = st.replace(ig=init_inletgen(cfg, grid, f, self.igparams))
         if cfg.walls.lwritefac and self.ibm is not None:
             from .state import zero_facstats
             st = st.replace(facstats=zero_facstats(self.ibm.nfcts,
@@ -167,9 +171,17 @@ class Model:
         # --- open-x inlet/outlet context (modboundary.f90:688-996) ---------
         openx = None
         uouttot = None
+        ig_new = state.ig
         if self.inlet is not None:
             from .ops.openbc import BC_RECYCLE, recycle_planes, uouttot_value
-            if self.inlet.mode == BC_RECYCLE:
+            if self.igparams is not None:
+                # full Lund-1998 rescale-recycle generator (modinlet.f90
+                # inletgen, called per substep as in the legacy time loop)
+                from .ops.inletgen import inletgen_planes, inletgen_update
+                ig_new = inletgen_update(state.ig, c, cfg, grid, state.dt,
+                                         rk3step, self.igparams)
+                inlet_planes = inletgen_planes(ig_new, self.inlet, ny, nz)
+            elif self.inlet.mode == BC_RECYCLE:
                 inlet_planes = recycle_planes(self.inlet, c, ny, nz)
             else:
                 inlet_planes = self.inlet.planes(state.timee, ny, nz)
@@ -479,7 +491,8 @@ class Model:
                 c_new, sv=_chem(c_new.sv, dt, cfg, IIc))
         if rk3step == 3:
             m_new = c_new
-        return state.replace(c=c_new, m=m_new, pres=pres, fac=fac, ctl=ctl)
+        return state.replace(c=c_new, m=m_new, pres=pres, fac=fac,
+                             ctl=ctl, ig=ig_new)
 
     def _project(self, du, dv, dw, m: Fields, rk3coef, c=None, openx=None,
                  uouttot=None, openy=None, vouttot=None, pres=None,
@@ -601,9 +614,13 @@ class Model:
         if self.inlet is not None:
             from .ops.openbc import BC_RECYCLE, recycle_planes
             ny, nz = self.grid.jtot, self.grid.ktot
-            planes0 = (recycle_planes(self.inlet, state.m, ny, nz)
-                       if self.inlet.mode == BC_RECYCLE
-                       else self.inlet.planes(state.timee, ny, nz))
+            if self.igparams is not None:
+                from .ops.inletgen import inletgen_planes
+                planes0 = inletgen_planes(state.ig, self.inlet, ny, nz)
+            elif self.inlet.mode == BC_RECYCLE:
+                planes0 = recycle_planes(self.inlet, state.m, ny, nz)
+            else:
+                planes0 = self.inlet.planes(state.timee, ny, nz)
             openx0 = {"inlet": planes0, "bx": state.m.bx}
         if self.inlet_y is not None:
             planes0y = self.inlet_y.planes(state.timee, self.grid.itot,
@@ -775,7 +792,10 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
                 f"readdriverfile analogue)")
         model.inlet = load_driver_inlet(dpath, grid.dtype)
     elif cfg.driver.iinletgen == 1:
-        # rescale-recycle turbulent inlet (modinlet.f90, iinletgen=1)
+        # full Lund-1998 rescale-recycle generator (modinlet.f90 inletgen):
+        # the Inlet holds the profile context (qt/e12/sv planes); the
+        # generator state itself lives in State.ig (ops/inletgen.py)
+        from .ops.inletgen import InletGenParams
         from .ops.openbc import BC_RECYCLE, Inlet
         p = inputs.prof
         j = lambda a: jnp.asarray(a, grid.dtype)
@@ -785,4 +805,26 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
             e12prof=j(np.maximum(p["e12"], const.e12min)),
             svprof=jnp.zeros((cfg.scalars.nsv, dom.ktot), grid.dtype),
             irecy=cfg.driver.iplane)
+        model.igparams = InletGenParams(cfg, grid)
+    elif cfg.driver.iinletgen == 2:
+        # replay planes recorded by a previous iinletgen=1 run
+        # (modinlet.f90:860-944 readinletfile analogue; lerp in time)
+        from .ops.openbc import BC_DRIVER as _BCD, Inlet
+        ip = case_dir / f"inletdata.{cfg.driver.driverjobnr:03d}.npz"
+        if not ip.exists():
+            raise FileNotFoundError(
+                f"{ip}: iinletgen=2 needs planes recorded by running the "
+                f"generator case (iinletgen=1, lstoreplane) first")
+        d = np.load(ip)
+        j = lambda a: jnp.asarray(a, grid.dtype)
+        nt = len(d["t"])
+        model.inlet = Inlet(
+            mode=_BCD, t=j(d["t"]), u=j(d["u"]), v=j(d["v"]), w=j(d["w"]),
+            thl=j(d["thl"]),
+            qt=jnp.broadcast_to(
+                j(inputs.prof["qt"])[None, None, :],
+                (nt, dom.jtot, dom.ktot)),
+            sv=jnp.zeros((nt, cfg.scalars.nsv, dom.jtot, dom.ktot),
+                         grid.dtype),
+            e12prof=j(np.maximum(inputs.prof["e12"], const.e12min)))
     return model

@@ -155,6 +155,11 @@ class Simulation:
         self.profile_dir = None  # set to a path to enable jax.profiler
         self.driver_rec = (DriverRecorder(self.cfg, model.grid, self.outdir)
                            if self.cfg.driver.idriver == 1 else None)
+        # inlet-plane recorder (lstoreplane, modinlet.f90 writeinletfile):
+        # the generated planes live in State.ig; stored once per full step
+        self.inlet_rec = ([] if (self.cfg.driver.iinletgen == 1
+                                 and self.cfg.driver.lstoreplane) else None)
+        self._inlet_rec_t = []
 
     def _exp(self):
         return f"{self.cfg.run.iexpnr:03d}"
@@ -183,6 +188,13 @@ class Simulation:
                 self.xytdump.maybe_sample(state, masks)
             if self.driver_rec is not None:
                 self.driver_rec.maybe_record(state)
+            if self.inlet_rec is not None and state.ig is not None:
+                self._inlet_rec_t.append(t)
+                self.inlet_rec.append(
+                    dict(u=np.asarray(state.ig.u0),
+                         v=np.asarray(state.ig.v0),
+                         w=np.asarray(state.ig.w0),
+                         thl=np.asarray(state.ig.t0)))
             if self.tdump is not None:
                 self.tdump.maybe_sample(state)
             if self.tkedump is not None:
@@ -227,6 +239,13 @@ class Simulation:
             self.xytdump.close()
         if self.driver_rec is not None:
             self.driver_rec.save()
+        if self.inlet_rec:
+            np.savez(self.outdir / f"inletdata.{self._exp()}.npz",
+                     t=np.asarray(self._inlet_rec_t),
+                     u=np.stack([f["u"] for f in self.inlet_rec]),
+                     v=np.stack([f["v"] for f in self.inlet_rec]),
+                     w=np.stack([f["w"] for f in self.inlet_rec]),
+                     thl=np.stack([f["thl"] for f in self.inlet_rec]))
         if self.facstatwriter is not None:
             self.facstatwriter.close()
         for extra in (self.tdump, self.ytdump, self.slices, self.tkedump,

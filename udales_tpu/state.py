@@ -59,6 +59,7 @@ class State:
                       # (IBM.params()); carried in State so the large arrays
                       # enter jit as arguments, not embedded HLO constants
     facstats: Any = None  # FacStats accumulators for lwritefac runs
+    ig: Any = None   # InletGen rescale-recycle state (ops/inletgen.py)
 
     def replace(self, **kw):
         return replace(self, **kw)
