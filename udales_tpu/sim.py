@@ -343,6 +343,75 @@ class Simulation:
               f"[{rate:.1f} steps/s]", flush=True)
 
 
+def execute_runmode_actions(model, case_dir) -> int | None:
+    """In-solver test runmodes dispatched before the time loop
+    (program.f90:239-275; test bodies src/tests.f90). Returns an exit code
+    for runmodes 1003/1004/1005, None for a normal run (runmode 1)."""
+    import jax.numpy as jnp
+    from .ops.thermo import avexy_masked
+    cfg, grid = model.cfg, model.grid
+    rm = cfg.run.runmode
+    if rm == 1003:
+        # tests_2decomp_init_exit (tests.f90:30-45): print the layout
+        devs = jax.devices()
+        print(f"runmode 1003: {len(devs)} device(s): {devs}")
+        if model.mesh is not None:
+            print(f"mesh {dict(zip(model.mesh.axis_names, model.mesh.devices.shape))}")
+        print(f"grid {grid.itot}x{grid.jtot}x{grid.ktot}")
+        return 0
+    if rm == 1004:
+        # tests_read_sparse_ijk (tests.f90:47-133): the sparse readers must
+        # agree with the &WALLS counts and stay inside the grid
+        from .io.inputs import read_sparse_ijk
+        exp = f"{cfg.run.iexpnr:03d}"
+        ok = True
+        lims = {"u": (grid.itot, grid.jtot, grid.ktot),
+                "v": (grid.itot, grid.jtot, grid.ktot),
+                "w": (grid.itot, grid.jtot, grid.ktot + 1),
+                "c": (grid.itot, grid.jtot, grid.ktot)}
+        for s in "uvwc":
+            for stem, key in ((f"solid_{s}.txt", f"nsolpts_{s}"),
+                              (f"fluid_boundary_{s}.txt", f"nbndpts_{s}")):
+                p = Path(case_dir) / stem
+                if not p.exists():
+                    continue
+                ijk = read_sparse_ijk(p)
+                want = getattr(cfg.walls, key)
+                if len(ijk) != want:
+                    print(f"runmode 1004 FAIL: {stem} has {len(ijk)} "
+                          f"points, &WALLS says {want}")
+                    ok = False
+                if len(ijk) and (ijk.min() < 0
+                                 or (ijk.max(axis=0) >= lims[s]).any()):
+                    print(f"runmode 1004 FAIL: {stem} out of bounds")
+                    ok = False
+        print(f"runmode 1004: {'PASS' if ok else 'FAIL'}")
+        return 0 if ok else 1
+    if rm == 1005:
+        # tests_mpi_operators (tests.f90:215-429): masked reductions vs
+        # local brute force — here the distributed path is XLA GSPMD, so
+        # the oracle is plain numpy on the gathered arrays
+        rng = np.random.default_rng(7)
+        nx, ny, nz = grid.shape
+        f = rng.random((nx, ny, nz))
+        mask = (rng.random((nx, ny, nz)) > 0.3).astype(float)
+        got = np.asarray(avexy_masked(jnp.asarray(f), jnp.asarray(mask)))
+        cnt = mask.sum(axis=(0, 1))
+        want = np.where(cnt > 0, (f * mask).sum(axis=(0, 1))
+                        / np.maximum(cnt, 1), -999.0)
+        ok = np.allclose(got, want, atol=1e-12)
+        # avey/sumx/sumy semantics (modmpi.f90:691-752)
+        gy = np.asarray(jnp.sum(jnp.asarray(f * mask), axis=1)
+                        / jnp.maximum(jnp.sum(jnp.asarray(mask), axis=1), 1))
+        wy = (f * mask).sum(axis=1) / np.maximum(mask.sum(axis=1), 1)
+        ok &= np.allclose(gy, wy, atol=1e-12)
+        ok &= np.allclose(np.asarray(jnp.sum(jnp.asarray(f * mask), axis=0)),
+                          (f * mask).sum(axis=0), atol=1e-12)
+        print(f"runmode 1005: {'PASS' if ok else 'FAIL'}")
+        return 0 if ok else 1
+    return None
+
+
 def main(argv=None):
     """CLI: python -m udales_tpu <case_dir_or_namoptions> [outdir]"""
     import argparse
@@ -366,6 +435,9 @@ def main(argv=None):
     else:
         expnr = None
     model = load_case(case, expnr, dtype=args.dtype)
+    rc = execute_runmode_actions(model, case)
+    if rc is not None:
+        raise SystemExit(rc)
     outdir = args.outdir or "."
     sim = Simulation(model, outdir)
     if args.profile:
