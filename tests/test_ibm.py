@@ -277,3 +277,35 @@ class TestConservativeIBM:
         s = m.cold_start(seed=3)
         s = jax.jit(m.step)(s)
         assert np.isfinite(np.asarray(s.c.thl)).all()
+
+
+class TestTauDiagnostics:
+    """tau_x/y/z + thl_flux fielddump diagnostics (modibm.f90:1185,
+    2014-2093): per-substep wall-function tendency increments."""
+
+    def test_taud_and_masks_dump(self, tmp_path):
+        import dataclasses
+        from udales_tpu.run import load_case
+        from udales_tpu.sim import Simulation
+        m = load_case(CASE, "101", dtype="float32")
+        m.cfg = dataclasses.replace(
+            m.cfg, output=dataclasses.replace(
+                m.cfg.output, lfielddump=True, tfielddump=0.01,
+                fieldvars="u0,tx,ty,tz,hf,mu,mc"))
+        m.need_taudiag = True
+        sim = Simulation(m, tmp_path)
+        st = m.cold_start(seed=3)
+        st = jax.jit(m.step)(st)
+        assert st.taud is not None
+        tx = np.asarray(st.taud["x"])
+        assert np.isfinite(tx).all()
+        # wall functions act somewhere: nonzero stress increments exist
+        assert np.abs(tx).max() > 0
+        sim.fielddump.dump(st)
+        sim.fielddump.close()
+        from udales_tpu.post import NCData
+        nc = NCData(tmp_path / "fielddump.101.nc")
+        assert "tau_x" in nc.variables() and "mask_u" in nc.variables()
+        mu = nc["mask_u"]
+        assert set(np.unique(mu)) <= {0.0, 1.0}
+        nc.close()

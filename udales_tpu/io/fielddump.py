@@ -29,13 +29,24 @@ _CODES = {
     "s5": ("sca5", ("zt", "yt", "xt"), "M"),
     "pr": ("pres", ("zt", "yt", "xt"), "m^2/s^2"),
     "p0": ("pres", ("zt", "yt", "xt"), "m^2/s^2"),  # reference code name
+    # wall-stress tendency diagnostics (modfielddump.f90:225-236)
+    "tx": ("tau_x", ("zt", "yt", "xm"), "M"),
+    "ty": ("tau_y", ("zt", "ym", "xt"), "M"),
+    "tz": ("tau_z", ("zm", "yt", "xt"), "M"),
+    "hf": ("thl_flux", ("zt", "yt", "xt"), "M"),
+    # IBM fluid masks (modfielddump.f90:238-248)
+    "mu": ("mask_u", ("zt", "yt", "xm"), "M"),
+    "mv": ("mask_v", ("zt", "ym", "xt"), "M"),
+    "mw": ("mask_w", ("zm", "yt", "xt"), "M"),
+    "mc": ("mask_c", ("zt", "yt", "xt"), "M"),
 }
 
 
 class FieldDump:
-    def __init__(self, cfg, grid, outdir: str | Path = "."):
+    def __init__(self, cfg, grid, outdir: str | Path = ".", masks=None):
         self.cfg = cfg
         self.grid = grid
+        self.masks = masks   # IBM Masks for the mu/mv/mw/mc codes
         codes = [c.strip() for c in cfg.output.fieldvars.split(",")
                  if c.strip()]
         self.codes = [c for c in codes if c in _CODES]
@@ -74,6 +85,14 @@ class FieldDump:
                 data[name] = np.asarray(th.ql0)
             elif code in ("pr", "p0"):
                 data[name] = np.asarray(state.pres)
+            elif code in ("tx", "ty", "tz", "hf") and state.taud is not None:
+                key = {"tx": "x", "ty": "y", "tz": "z", "hf": "hf"}[code]
+                arr = np.asarray(state.taud[key])
+                data[name] = arr[..., :nz] if code == "tz" else arr
+            elif code in ("mu", "mv", "mw", "mc") and self.masks is not None:
+                m = getattr(self.masks, code[1])
+                data[name] = np.asarray(m)[..., :nz] if code == "mw" \
+                    else np.asarray(m)
             elif code.startswith("s") and code[1:].isdigit():
                 n = int(code[1:]) - 1
                 if n < c.sv.shape[0]:

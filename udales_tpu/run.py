@@ -56,6 +56,10 @@ class Model:
         self.scalsources = None  # physics.ScalarSources
         self.purifiers = None    # physics.Purifiers
         self.timedep = None      # timedep.Timedep
+        # tau_x/y/z + thl_flux diagnostics only when fielddump asks for them
+        codes = {c.strip() for c in cfg.output.fieldvars.split(",")}
+        self.need_taudiag = bool(cfg.output.lfielddump
+                                 and codes & {"tx", "ty", "tz", "hf"})
         self.pois = PoissonSolver(grid, cfg, mesh=mesh)
         nz = grid.ktot
         fdt = grid.dtype
@@ -127,6 +131,12 @@ class Model:
         if self.igparams is not None:
             from .ops.inletgen import init_inletgen
             st = st.replace(ig=init_inletgen(cfg, grid, f, self.igparams))
+        if self.need_taudiag:
+            nx, ny, nz = grid.shape
+            z3 = lambda: jnp.zeros((nx, ny, nz), grid.dtype)
+            st = st.replace(taud=dict(
+                x=z3(), y=z3(), z=jnp.zeros((nx, ny, nz + 1), grid.dtype),
+                hf=z3()))
         if cfg.walls.lwritefac and self.ibm is not None:
             from .state import zero_facstats
             st = st.replace(facstats=zero_facstats(self.ibm.nfcts,
@@ -325,15 +335,27 @@ class Model:
         fac = state.fac
         bctf = (self.timedep.surf_fluxes(state.timee)
                 if self.timedep is not None else None)
+        taud = state.taud
+        need_tau = getattr(self, "need_taudiag", False) and rk3step == 3
         if self.ibm is not None:
             need_fac = fac is not None and rk3step == 3
             need_fstats = (cfg.walls.lwritefac and rk3step == 3
                            and state.facstats is not None)
+            if need_tau:
+                pre = (du, dv, dw, dthl)
             (du, dv, dw, dthl, dqt, dsv, fachf, facef, hf_tot,
              ef_tot, fstats) = self.ibm.wallfun(
                 g, c, grid, cfg, du, dv, dw, dthl, dqt, dsv, fac, bctf,
                 need_fac=need_fac, ibmp=state.ibmp,
                 need_facstats=need_fstats, pres=state.pres)
+            if need_tau:
+                # tau_* / thl_flux diagnostics: the bottom + ibmwallfun
+                # tendency increments of this substep (modibm.f90:1185,
+                # 2014-2093; dumped by fielddump tx/ty/tz/hf)
+                taud = dict(x=(du - pre[0]) + bu, y=(dv - pre[1]) + bv,
+                            z=dw - pre[2], hf=(dthl - pre[3]) + bthl)
+        elif need_tau:
+            taud = dict(x=bu, y=bv, z=jnp.zeros_like(dw), hf=bthl)
             # intqH (modEB.f90:220-247): accumulate facet fluxes in time on
             # the last substep
             if need_fac:
@@ -492,7 +514,7 @@ class Model:
         if rk3step == 3:
             m_new = c_new
         return state.replace(c=c_new, m=m_new, pres=pres, fac=fac,
-                             ctl=ctl, ig=ig_new)
+                             ctl=ctl, ig=ig_new, taud=taud)
 
     def _project(self, du, dv, dw, m: Fields, rk3coef, c=None, openx=None,
                  uouttot=None, openy=None, vouttot=None, pres=None,

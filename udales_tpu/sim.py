@@ -79,7 +79,9 @@ class Simulation:
         self.step = jax.jit(model.step)
         self.outputs = []
         if self.cfg.output.lfielddump:
-            self.fielddump = FieldDump(self.cfg, model.grid, self.outdir)
+            self.fielddump = FieldDump(
+                self.cfg, model.grid, self.outdir,
+                masks=model.ibm.masks if model.ibm is not None else None)
         else:
             self.fielddump = None
         if self.cfg.output.lxytdump:

@@ -60,6 +60,8 @@ class State:
                       # enter jit as arguments, not embedded HLO constants
     facstats: Any = None  # FacStats accumulators for lwritefac runs
     ig: Any = None   # InletGen rescale-recycle state (ops/inletgen.py)
+    taud: Any = None  # wall-stress diagnostics dict (tau_x/y/z, thl_flux)
+                      # for fielddump tx/ty/tz/hf codes (modibm.f90:1185)
 
     def replace(self, **kw):
         return replace(self, **kw)
