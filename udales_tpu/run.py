@@ -354,8 +354,6 @@ class Model:
                 # 2014-2093; dumped by fielddump tx/ty/tz/hf)
                 taud = dict(x=(du - pre[0]) + bu, y=(dv - pre[1]) + bv,
                             z=dw - pre[2], hf=(dthl - pre[3]) + bthl)
-        elif need_tau:
-            taud = dict(x=bu, y=bv, z=jnp.zeros_like(dw), hf=bthl)
             # intqH (modEB.f90:220-247): accumulate facet fluxes in time on
             # the last substep
             if need_fac:
@@ -383,6 +381,8 @@ class Model:
                     dthl = dthl + pthl[None, None, :]
                 if lmoist:
                     dqt = dqt + pqt[None, None, :]
+        elif need_tau:
+            taud = dict(x=bu, y=bv, z=jnp.zeros_like(dw), hf=bthl)
 
         # --- free-stream controllers (modforces.fixuinf1/2) ----------------
         ctl = state.ctl
