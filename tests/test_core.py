@@ -115,6 +115,59 @@ class TestPoisson:
         ps = p_sol - jnp.mean(p_sol)
         assert np.allclose(ps, p0, atol=1e-8), np.abs(ps - p0).max()
 
+    def _neumann_z_laplacian(self, grid, p, per_x=True):
+        """Discrete Laplacian, periodic or Neumann x, periodic y, Neumann z."""
+        if per_x:
+            gp = jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="wrap")
+        else:
+            gp = jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="edge")
+        lap = (gp[2:] - 2 * gp[1:-1] + gp[:-2]) * grid.dx2i
+        gq = jnp.pad(p, ((0, 0), (1, 1), (0, 0)), mode="wrap")
+        lap += (gq[:, 2:] - 2 * gq[:, 1:-1] + gq[:, :-2]) * grid.dy2i
+        dzfi = grid.dzfi[None, None, :]
+        flux = (p[:, :, 1:] - p[:, :, :-1]) * grid.dzhi[1:-1][None, None, :]
+        zero = jnp.zeros_like(p[:, :, :1])
+        flux = jnp.concatenate([zero, flux, zero], axis=2)
+        return lap + (flux[:, :, 1:] - flux[:, :, :-1]) * dzfi
+
+    def test_bczp2_laplacian_inverse(self):
+        """BCzp=2 (z cosine transform, modpois.f90:556-591) must invert the
+        same Neumann-z Laplacian on an equidistant grid."""
+        cfg = make_cfg()
+        cfg = dataclasses.replace(cfg,
+                                  bc=dataclasses.replace(cfg.bc, BCzp=2))
+        d = cfg.domain
+        grid = Grid.uniform(d.itot, d.jtot, d.ktot, d.xlen, d.ylen, 8.0,
+                            dtype=np.float64)
+        pois = PoissonSolver(grid, cfg)
+        assert pois.bczp2 and not pois.diag_z
+        rng = np.random.default_rng(7)
+        p = jnp.asarray(rng.standard_normal(grid.shape))
+        p = p - jnp.mean(p)
+        rhs = self._neumann_z_laplacian(grid, p)
+        ps = pois.solve(rhs)
+        ps = ps - jnp.mean(ps)
+        assert np.allclose(ps, p, atol=1e-8), np.abs(ps - p).max()
+
+    def test_bczp2_neumann_x(self):
+        """BCzp=2 combined with a non-periodic (DCT) x direction."""
+        from udales_tpu.config import BC_PROFILE
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg, bc=dataclasses.replace(cfg.bc, BCzp=2, BCxm=BC_PROFILE))
+        d = cfg.domain
+        grid = Grid.uniform(d.itot, d.jtot, d.ktot, d.xlen, d.ylen, 8.0,
+                            dtype=np.float64)
+        pois = PoissonSolver(grid, cfg)
+        assert pois.bczp2 and not pois.per_x
+        rng = np.random.default_rng(8)
+        p = jnp.asarray(rng.standard_normal(grid.shape))
+        p = p - jnp.mean(p)
+        rhs = self._neumann_z_laplacian(grid, p, per_x=False)
+        ps = pois.solve(rhs)
+        ps = ps - jnp.mean(ps)
+        assert np.allclose(ps, p, atol=1e-8), np.abs(ps - p).max()
+
 
 class TestPoissonFFT3D:
     def test_periodic_laplacian_inverse(self):

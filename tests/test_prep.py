@@ -75,11 +75,12 @@ class TestViewFactors:
         normals = np.array([[0, 0, 1], [0, 0, 1], [0, 0, -1], [0, 0, -1]],
                            float)
         F, svf = view_factors(tris, normals, subdiv=3)
-        # analytic F for unit squares at d=1: ~0.19982
+        # analytic F for unit squares at d=1: 0.199825 (Howell C-11);
+        # subdiv=3 quadrature lands at 0.20046 — assert within 0.5%
         F12 = F[0, 2] + F[0, 3]
-        assert 0.14 < F12 < 0.26, F12
+        assert abs(F12 - 0.199825) < 1e-3, F12
         # reciprocity: A_i F_ij = A_j F_ji (equal areas here)
-        np.testing.assert_allclose(F[0, 2], F[2, 0], rtol=0.05)
+        np.testing.assert_allclose(F[0, 2], F[2, 0], rtol=1e-6)
         assert 0.4 < svf[0] < 0.9
 
     def test_enclosure_bound(self):

@@ -254,6 +254,24 @@ class PoissonSolver:
                        and np.allclose(rhobh, 1.0)
                        and cfg.bc.BCtopm != BCTOPM_PRESSURE
                        and cfg.bc.BCzp == 1)
+        # BCzp==2 (modpois.f90:179-193, 556-591): replace the tridiagonal
+        # z solve by a cosine transform with eigenvalues
+        # zrt(k) = -4 dzi^2 sin^2((k-1) pi / (2 ktot)); the modal divide is
+        # by xyzrt = rhobf(k)*(xrt+yrt+zrt(k)), zero modes -> 0.  Requires
+        # an equidistant z grid (the reference uses dzfi(1) throughout).
+        self.bczp2 = (not self.fft3d) and cfg.bc.BCzp == 2
+        if self.bczp2:
+            if not np.allclose(dzf, dzf[0], rtol=1e-12):
+                raise ValueError("BCzp=2 assumes an equidistant z grid "
+                                 "(modpois.f90:184)")
+            dzi = 1.0 / dzf[0]
+            kz = np.arange(nz)
+            zrt = -4.0 * dzi * dzi * np.sin(np.pi * kz / (2 * nz)) ** 2
+            lam3 = rhobf[None, None, :] * (lam[:, :, None]
+                                           + zrt[None, None, :])
+            inv = np.where(np.abs(lam3) > 1e-300, 1.0 / np.where(
+                np.abs(lam3) > 1e-300, lam3, 1.0), 0.0)
+            self.inv_lam_z2 = jnp.asarray(inv, fdt)
         if self.diag_z:
             dzi = 1.0 / dzf[0]
             kz = np.arange(nz)
@@ -298,7 +316,7 @@ class PoissonSolver:
             C = _dctII_matrix(ny)
             mats["Cy"] = C.astype(fdt)
             mats["iCy"] = np.linalg.inv(C).astype(fdt)
-        if self.diag_z or True:  # z-DCT also used by the BCzp==2 path
+        if self.diag_z or self.bczp2:
             C = _dctII_matrix(nz)
             mats["Cz"] = C.astype(fdt)
             mats["iCz"] = np.linalg.inv(C).astype(fdt)
@@ -328,6 +346,16 @@ class PoissonSolver:
         Ab = jnp.broadcast_to(-self.cp, y.shape).astype(B.dtype)
         _, x = jax.lax.associative_scan(combine, (Ab, y), axis=2, reverse=True)
         return x
+
+    def _solve_k(self, F):
+        """Vertical part of the modal solve: tridiagonal Thomas (BCzp==1,
+        modpois.f90:552) or the z-cosine-transform diagonal divide (BCzp==2,
+        modpois.f90:556-591)."""
+        if not self.bczp2:
+            return self._tridiag(F)
+        M = self.mats
+        G = _mm(F, M["Cz"], 2) * self.inv_lam_z2
+        return _mm(G, M["iCz"], 2)
 
     def solve(self, rhs):
         """rhs (nx, ny, nz) -> pressure correction p (nx, ny, nz).
@@ -367,7 +395,7 @@ class PoissonSolver:
         # 2DECOMP transposes of modpois.f90:459-548)
         F = xp(_mm(xp(rhs).astype(cplx), M["Rx"], 0))
         F = yp(_mm(yp(F), M["Wy"], 1))
-        X = self._tridiag(zp(F))
+        X = self._solve_k(zp(F))
         X = yp(_mm(yp(X), M["iWy"], 1))
         p = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
         return zp(p).astype(rhs.dtype)
@@ -400,7 +428,7 @@ class PoissonSolver:
             F = _mm(F.astype(cplx), M["Wy"], 1)
         else:
             F = F.astype(cplx)
-        X = self._tridiag(F)
+        X = self._solve_k(F)
         if self.per_x:
             X = jnp.real(_mm(X, M["iRx"], 0))
         elif self.per_y:

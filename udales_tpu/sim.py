@@ -150,10 +150,15 @@ class Simulation:
             self.facstatwriter = wf
             self.tnextfacstat = self.cfg.walls.dtfac
         self.monitor = monitor
+        # tcheck cadence (modchecksim.f90:37,64-67): report every tcheck
+        # seconds of simulated time; tcheck=0 means every step.
+        self.tcheck = self.cfg.output.tcheck
+        self.tnextcheck = 0.0
         self.tnextrestart = self.cfg.run.trestart
         self.ntrun = 0
         # per-step monitor file (modtstep.f90:290-320 writes monitor<id>.txt)
         self._monitor_path = self.outdir / f"monitor.{self._exp()}.txt"
+        self._monitor_file = None
         self.profile_dir = None  # set to a path to enable jax.profiler
         self.driver_rec = (DriverRecorder(self.cfg, model.grid, self.outdir)
                            if self.cfg.driver.idriver == 1 else None)
@@ -213,7 +218,12 @@ class Simulation:
                 self.mintdump.maybe_sample(state)
             if self.treedump is not None:
                 self.treedump.maybe_sample(state)
-            if self.monitor and nsteps % 50 == 0:
+            if self.monitor and (t >= self.tnextcheck if self.tcheck > 0
+                                 else nsteps % 50 == 0):
+                # modchecksim.f90: every tcheck simulated seconds; tcheck=0
+                # means every step in the reference — here throttled to every
+                # 50 steps to avoid a device sync per step (deviation).
+                self.tnextcheck = t + self.tcheck
                 self._checksim(state, nsteps, wall0)
             if (self.facwriter is not None and state.fac is not None
                     and t >= self._last_facwrite + self.cfg.eb.dtEB):
@@ -227,14 +237,18 @@ class Simulation:
             if t >= self.tnextrestart:
                 self.tnextrestart += cfg.run.trestart
                 self._write_restart(state)
-            with open(self._monitor_path, "a") as mf:
-                mf.write(f"{t:14.6e} {float(state.dt):14.6e}\n")
+            if self._monitor_file is None:
+                self._monitor_file = open(self._monitor_path, "a")
+            self._monitor_file.write(f"{t:14.6e} {float(state.dt):14.6e}\n")
             if (self.outdir / f"exit_now.{self._exp()}").exists():
                 self._write_restart(state)
                 break
             if prof_ctx is not None and nsteps == 12:
                 jax.profiler.stop_trace()
                 prof_ctx = None
+        if self._monitor_file is not None:
+            self._monitor_file.close()
+            self._monitor_file = None
         if self.fielddump:
             self.fielddump.close()
         if self.xytdump:
