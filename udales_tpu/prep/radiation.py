@@ -158,6 +158,67 @@ def direct_shortwave(tris, normals, sun_dir, I_dir: float,
     return out / np.maximum(w, 1e-30)
 
 
+def direct_shortwave_veg(tris, normals, sun_dir, I_dir: float,
+                         lad_ext, spacing, subdiv: int = 2,
+                         step: float | None = None,
+                         blockers=None, periodic_xy: bool = True):
+    """Facet direct irradiance with Beer-Lambert vegetation attenuation
+    (udprep/directshortwave.py:465-469 semantics: per-cell optical depth
+    tau = lad*dec*ds along the ray; the udales_tpu caller passes the
+    combined extinction field ``lad_ext = lad*dec`` on the solver grid).
+
+    lad_ext: (itot, jtot, ktot) combined extinction [1/m]; spacing =
+    (dx, dy, dz) of that grid.  The march samples the field at `step`
+    intervals (default min(spacing)/2) from each sub-patch centroid toward
+    the sun, wrapping x/y when periodic_xy.  If `blockers` (triangles) is
+    given, facet shading is applied on top via any-hit rays."""
+    sun_dir = np.asarray(sun_dir, float)
+    dx, dy, dz = spacing
+    ni, nj, nk = lad_ext.shape
+    if step is None:
+        step = min(dx, dy, dz) / 2.0
+    sub, parent = _subdivide(tris, subdiv)
+    cen = sub.mean(axis=1)
+    area = triangle_areas(sub)
+    nrm = normals[parent]
+    cosi = np.einsum("ik,k->i", nrm, sun_dir)
+    lit = cosi > 0
+    shaded = np.zeros(len(sub), bool)
+    if blockers is not None and len(blockers):
+        idx = np.flatnonzero(lit)
+        if len(idx):
+            orig = cen[idx] + 1e-5 * nrm[idx]
+            shaded[idx] = ray_hits(orig, sun_dir, blockers, tmin=1e-5)
+    # optical depth: march up to the top of the vegetated volume
+    zmax = nk * dz
+    up = max(sun_dir[2], 1e-6)
+    nsmp = int(np.ceil((zmax / up) / step)) + 1
+    tau = np.zeros(len(cen))
+    tvals = (np.arange(nsmp) + 0.5) * step
+    for c0 in range(0, len(cen), 4096):
+        c = cen[c0:c0 + 4096]
+        pos = c[:, None, :] + tvals[None, :, None] * sun_dir[None, None, :]
+        i = np.floor(pos[..., 0] / dx).astype(int)
+        j = np.floor(pos[..., 1] / dy).astype(int)
+        k = np.floor(pos[..., 2] / dz).astype(int)
+        if periodic_xy:
+            i %= ni
+            j %= nj
+        else:
+            i = np.clip(i, 0, ni - 1)
+            j = np.clip(j, 0, nj - 1)
+        valid = (k >= 0) & (k < nk)
+        ext = np.where(valid, lad_ext[i, j, np.clip(k, 0, nk - 1)], 0.0)
+        tau[c0:c0 + 4096] = ext.sum(axis=1) * step
+    flux = np.where(lit & ~shaded,
+                    I_dir * np.maximum(cosi, 0.0) * np.exp(-tau), 0.0)
+    out = np.zeros(len(tris))
+    w = np.zeros(len(tris))
+    np.add.at(out, parent, flux * area)
+    np.add.at(w, parent, area)
+    return out / np.maximum(w, 1e-30)
+
+
 def net_shortwave(tris, normals, sun_dir, I_dir, D_diff, svf, albedo):
     """netsw.inp contents: absorbed shortwave per facet
     = (1 - albedo) * (direct + svf * diffuse) (udprep radiation chain)."""
