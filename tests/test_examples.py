@@ -48,6 +48,106 @@ def test_example_steps(case, umax_bound):
         assert 200.0 < thl.min() < thl.max() < 400.0
 
 
+def test_example_102_warmstart_end_to_end(tmp_path):
+    """Flagship validation case (BASELINE.json): example 102 run end-to-end
+    THROUGH the reference Fortran warmstart machinery.
+
+    No initd files are committed in the reference tree (only the scalar
+    inits — real reference-produced data, ingest-validated in
+    test_ref_formats.py), so the momentum restart is synthesized by a short
+    cold run + write_fortran_restart in the modsave.f90 layout, named to
+    pair with the committed inits00000267 files.  The run then goes through
+    warmstart_state (modstartup.f90:2156 analogue: 2x2-rank assembly),
+    steps >= 20 RK3 steps via Simulation with fielddump+xytdump enabled,
+    and the outputs are read back through UDPost."""
+    import re
+    import shutil
+    from udales_tpu.io.restart import warmstart_state, write_fortran_restart
+    from udales_tpu.run import load_case
+    from udales_tpu.sim import Simulation
+
+    src = EXAMPLES / "102"
+    case = tmp_path / "102"
+    case.mkdir()
+    for p in src.iterdir():
+        if p.is_file():
+            shutil.copy(p, case / p.name)
+    # shorten output cadences so dumps fire within the test run
+    nam = (case / "namoptions.102").read_text()
+    for k, v in (("tfielddump", "2."), ("tstatsdump", "4."),
+                 ("tsample", "1."), ("trestart", "5."),
+                 ("nprocx", "2"), ("nprocy", "2")):
+        nam = re.sub(rf"^({k}\s*=\s*)\S+", rf"\g<1>{v}", nam, flags=re.M)
+    (case / "namoptions.102").write_text(nam)
+    for p in (src / "warmstart_files").glob("inits*.102"):
+        shutil.copy(p, case / p.name)
+
+    model = load_case(case, dtype="float64")
+    cfg = model.cfg
+
+    # synthesize the initd files from a short cold spin-up, stamped with
+    # the committed inits' timee so the pair is consistent
+    import jax
+    state = model.cold_start()
+    step = jax.jit(model.step)
+    for _ in range(2):
+        state = step(state)
+    c = state.c
+    nz = model.grid.ktot
+    pad = lambda a: np.concatenate(
+        [np.asarray(a), np.asarray(a)[:, :, -1:]], axis=2)
+    fields = {"u": pad(c.u), "v": pad(c.v), "w": np.asarray(c.w),
+              "thl": pad(c.thl), "qt": pad(c.qt), "e12": pad(c.e12),
+              "pres": pad(state.pres)}
+    t_inits = 100.26389836215216   # committed inits00000267 timestamp
+    write_fortran_restart(case, fields, t_inits, 0.3, "102",
+                          64, 64, 64, nprocx=2, nprocy=2, ntrun=267)
+
+    # warmstart through the reference-format machinery
+    wstate = warmstart_state(case, cfg.run.startfile, "102", cfg,
+                             model.grid)
+    assert float(wstate.timee) == t_inits
+    # the scalar field is the REAL committed reference data
+    sv = np.asarray(wstate.m.sv)
+    assert sv.shape[0] == 1 and np.isfinite(sv).all()
+    assert np.abs(sv).max() > 1e-3
+    wstate = model.attach_params(wstate)
+
+    sim = Simulation(model, case)
+    sim.run(wstate, runtime=7.0)
+
+    mon = np.loadtxt(case / "monitor.102.txt", ndmin=2)
+    assert mon.shape[0] >= 20, f"only {mon.shape[0]} steps"
+
+    # physics oracles on the final state written to the restart file
+    outs = sorted(case.glob("initd*.h5"))
+    assert outs, "restart checkpoint not written"
+    import h5py
+    with h5py.File(outs[-1]) as f:
+        u = f["c/u"][()]
+        v = f["c/v"][()]
+        w = f["c/w"][()]
+        thl = f["c/thl"][()]
+    assert np.isfinite(u).all() and np.abs(u).max() < 10.0
+    assert 200.0 < thl.min() < thl.max() < 400.0
+    gu = np.concatenate([u, u[:1]], axis=0)
+    gv = np.concatenate([v, v[:, :1]], axis=1)
+    dzfi = 1.0 / np.diff(np.asarray(model.grid.zh))
+    div = ((gu[1:] - gu[:-1]) / model.grid.dx
+           + (gv[:, 1:] - gv[:, :-1]) / model.grid.dy
+           + (w[:, :, 1:] - w[:, :, :-1]) * dzfi[None, None, :])
+    fluid = np.asarray(model.ibm.masks.c) > 0.5
+    assert np.abs(div)[fluid].max() < 1e-9, np.abs(div)[fluid].max()
+
+    # outputs read back through the postprocessing package
+    from udales_tpu.post import UDPost
+    post = UDPost("102", case)
+    fd = post.load_field("u")
+    assert np.isfinite(fd).all() and fd.ndim == 4 and fd.shape[0] >= 2
+    xyt = post.load_stat_xyt()
+    assert any("u" in k for k in xyt.variables())
+
+
 def test_example_201_eb_state():
     """201 exercises the facet EB: facet state present and physical."""
     model, state = _run_steps("201")

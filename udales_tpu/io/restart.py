@@ -86,6 +86,70 @@ def load_checkpoint(path: str | Path, grid, dtype=None, model=None):
 
 
 # ---------------------------------------------------------------------------
+# Reference Fortran restart write (modsave.f90:83-131 record layout)
+# ---------------------------------------------------------------------------
+
+def _write_record(fh, payload: bytes):
+    fh.write(struct.pack("<i", len(payload)))
+    fh.write(payload)
+    fh.write(struct.pack("<i", len(payload)))
+
+
+def write_fortran_restart(case_dir: str | Path, fields: dict, timee: float,
+                          dt: float, expnr: str, itot: int, jtot: int,
+                          ktot: int, nprocx: int = 1, nprocy: int = 1,
+                          ntrun: int = 0, sv=None):
+    """Write per-rank ``initd<ntrun>_<px>_<py>.<exp>`` (+ ``inits*`` when
+    scalars are present) in the reference's sequential-unformatted layout
+    (modsave.f90:83-131): records mindist, wall(5), then
+    u0,v0,w0,pres0,thl0,e120,ekm,qt0,ql0,ql0h on (imax+2, jmax+2, ktot+1)
+    subdomains with 1-cell periodic halos, then (timee, dt).
+
+    `fields` maps those ten names to global (itot, jtot, ktot[+1]) arrays;
+    missing entries are written as zeros.  mindist/wall (wall-distance
+    search caches, modfields.f90) are written as zeros — the TPU solver
+    recomputes wall geometry from the IBM inputs on startup and its ingest
+    skips these records (read_fortran_restart above)."""
+    case_dir = Path(case_dir)
+    imax, jmax = itot // nprocx, jtot // nprocy
+    ih = jh = kh = 1
+    names = ["u", "v", "w", "pres", "thl", "e12", "ekm", "qt", "ql", "qlh"]
+
+    def halo_block(glob, px, py):
+        """(imax+2, jmax+2, ktot+1) little-endian f8, Fortran order."""
+        g = np.zeros((itot, jtot, ktot + kh))
+        g[:, :, :min(glob.shape[2], ktot + kh)] = \
+            np.asarray(glob, np.float64)[:, :, :ktot + kh]
+        gi = np.take(g, np.arange(px * imax - ih, (px + 1) * imax + ih),
+                     axis=0, mode="wrap")
+        return np.take(gi, np.arange(py * jmax - jh, (py + 1) * jmax + jh),
+                       axis=1, mode="wrap")
+
+    zero_int = np.zeros((imax, jmax, ktot))
+    for px in range(nprocx):
+        for py in range(nprocy):
+            name = f"initd{ntrun:08d}_{px:03d}_{py:03d}.{expnr}"
+            with open(case_dir / name, "wb") as fh:
+                _write_record(fh, zero_int.tobytes(order="F"))       # mindist
+                _write_record(fh, np.zeros(
+                    (imax, jmax, ktot, 5)).tobytes(order="F"))       # wall
+                for n in names:
+                    glob = fields.get(n)
+                    if glob is None:
+                        glob = np.zeros((itot, jtot, ktot))
+                    _write_record(fh, halo_block(glob, px, py)
+                                  .tobytes(order="F"))
+                _write_record(fh, struct.pack("<2d", timee, dt))
+            if sv is not None and len(sv):
+                sname = f"inits{ntrun:08d}_{px:03d}_{py:03d}.{expnr}"
+                blocks = np.stack([halo_block(s, px, py) for s in sv],
+                                  axis=-1)
+                with open(case_dir / sname, "wb") as fh:
+                    _write_record(fh, blocks.tobytes(order="F"))
+                    _write_record(fh, struct.pack("<d", timee))
+
+
+# ---------------------------------------------------------------------------
 # Reference Fortran restart ingest
 # ---------------------------------------------------------------------------
 

@@ -91,8 +91,14 @@ class Inlet:
         t1 = t[idx + 1]
         a = jnp.clip((timee - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
         lerp = lambda f: (1.0 - a) * f[idx] + a * f[idx + 1]
+        # thl/qt planes are absent for neutral/dry precursors (the reference
+        # only writes h/qdriver under ltempeq&lhdriver / lmoist&lqdriver,
+        # moddriver.f90:885-920) — fall back to zeros of the u-plane shape
+        zero = lambda: jnp.zeros(self.u.shape[1:], self.u.dtype)
         return dict(u=lerp(self.u), v=lerp(self.v), w=lerp(self.w),
-                    thl=lerp(self.thl), qt=lerp(self.qt),
+                    thl=(lerp(self.thl) if self.thl is not None
+                         else zero()),
+                    qt=(lerp(self.qt) if self.qt is not None else zero()),
                     sv=(lerp(self.sv) if self.sv is not None
                         else jnp.zeros((0,) + self.u.shape[1:],
                                        self.u.dtype)),

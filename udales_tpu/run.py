@@ -802,17 +802,32 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         else:
             model.inlet_y = inl
     elif cfg.bc.BCxm == BC_DRIVER:
-        from .ops.openbc import load_driver_inlet
-        dpath = case_dir / f"driverdata.{cfg.driver.driverjobnr:03d}.h5"
-        if not dpath.exists():
+        from .ops.openbc import BC_DRIVER as _BCD, Inlet, load_driver_inlet
+        djob = cfg.driver.driverjobnr
+        dpath = case_dir / f"driverdata.{djob:03d}.h5"
+        tdrv = case_dir / f"tdriver_000.{djob:03d}"
+        if dpath.exists():
+            model.inlet = load_driver_inlet(dpath, grid.dtype)
+        elif tdrv.exists():
+            # reference Fortran ?driver_* files (moddriver.f90:750
+            # readdriverfile) — direct-access f8 planes per y-rank
+            from .io.driverfiles import read_driver_files
+            d = read_driver_files(
+                case_dir, djob, dom.jtot, dom.ktot,
+                driverstore=cfg.driver.driverstore or None,
+                nsv=cfg.scalars.nsv, ltempeq=cfg.physics.ltempeq,
+                lmoist=cfg.physics.lmoist)
+            j = lambda k: (jnp.asarray(d[k], grid.dtype) if k in d else None)
+            model.inlet = Inlet(mode=_BCD, t=j("t"), u=j("u"), v=j("v"),
+                                w=j("w"), thl=j("thl"), qt=j("qt"),
+                                sv=j("sv"))
+        else:
             raise FileNotFoundError(
-                f"{dpath}: driver-inlet case (idriver=2) needs the inlet "
-                f"planes recorded by first running the precursor case "
-                f"(idriver=1, experiment {cfg.driver.driverjobnr:03d}) with "
-                f"this framework, or synthesizing them with "
-                f"udales_tpu.prep.syntheticinflow (moddriver.f90:750 "
-                f"readdriverfile analogue)")
-        model.inlet = load_driver_inlet(dpath, grid.dtype)
+                f"driver-inlet case (idriver=2): neither {dpath.name} nor "
+                f"reference driver files (tdriver_000.{djob:03d} + "
+                f"?driver_*) found in {case_dir}; record them by running "
+                f"the precursor case (idriver=1, experiment {djob:03d}) "
+                f"first (moddriver.f90:515/750)")
     elif cfg.driver.iinletgen == 1:
         # full Lund-1998 rescale-recycle generator (modinlet.f90 inletgen):
         # the Inlet holds the profile context (qt/e12/sv planes); the

@@ -9,6 +9,7 @@ trestart, tcheck) and the ``exit_now.<exp>`` graceful-stop sentinel
 from __future__ import annotations
 
 import json
+import math
 import time
 from pathlib import Path
 
@@ -66,6 +67,17 @@ class DriverRecorder:
             if self.frames[0]["sv"] is not None:
                 f.create_dataset("sv", data=np.stack(
                     [fr["sv"] for fr in self.frames]))
+        # also emit the reference's Fortran direct-access ?driver_* files
+        # (moddriver.f90 writedriverfile:515) so a reference main run — or
+        # this framework's idriver=2 path — can consume them directly
+        from .io.driverfiles import write_driver_files
+        planes = {k: np.stack([fr[k] for fr in self.frames])
+                  for k in ("u", "v", "w", "thl", "qt")}
+        planes["sv"] = (np.stack([fr["sv"] for fr in self.frames])
+                        if self.frames[0]["sv"] is not None else None)
+        write_driver_files(self.outdir, exp, np.asarray(self.times), planes,
+                           self.grid.jtot, self.grid.ktot,
+                           tdriverstart=self.cfg.driver.tdriverstart)
         return path
 
 
@@ -177,6 +189,28 @@ class Simulation:
             state = self.model.cold_start(seed=seed)
         runtime = runtime if runtime is not None else cfg.run.runtime
         t_end = float(state.timee) + runtime
+        # warmstart: fast-forward output timers to the first cadence
+        # multiple at/after the restart time (otherwise every writer would
+        # fire once per step while catching up from t=0)
+        t0 = float(state.timee)
+
+        def _ff(obj, attr, cad):
+            if (obj is not None and cad > 0 and hasattr(obj, attr)
+                    and getattr(obj, attr) < t0):
+                setattr(obj, attr, cad * math.ceil(t0 / cad + 1e-9))
+        _ff(self.fielddump, "tnext", cfg.output.tfielddump)
+        for w in (self.xytdump, self.tdump, self.tkedump, self.ytdump,
+                  self.mintdump, self.treedump):
+            _ff(w, "tnext_sample", cfg.output.tsample)
+            _ff(w, "tnext_write", cfg.output.tstatsdump)
+        for w in (self.xydump, self.ydump, self.slices):
+            for attr, cad in (("tnext", cfg.output.tsample),
+                              ("tnext_sample", cfg.output.tsample),
+                              ("tnext_write", cfg.output.tstatsdump)):
+                if w is not None and hasattr(w, attr):
+                    _ff(w, attr, cad)
+        _ff(self, "tnextrestart", cfg.run.trestart)
+        _ff(self, "tnextcheck", self.tcheck)
         masks = self.model.ibm.masks if self.model.ibm else None
         wall0 = time.time()
         nsteps = 0
