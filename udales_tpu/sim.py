@@ -97,21 +97,26 @@ class Simulation:
         else:
             self.fielddump = None
         if self.cfg.output.lxytdump:
-            self.xytdump = XYTDump(self.cfg, model.grid, self.outdir)
+            self.xytdump = XYTDump(self.cfg, model.grid, self.outdir,
+                                   model=model)
         else:
             self.xytdump = None
         from .io.stats import (MinTDump, SliceDump, TDump, TKEDump, TreeDump,
                                XYDump, YDump, YTDump)
         nsv = self.cfg.scalars.nsv
-        self.xydump = (XYDump(self.cfg, model.grid, self.outdir)
+        self.xydump = (XYDump(self.cfg, model.grid, self.outdir,
+                              model=model)
                        if self.cfg.output.lxydump else None)
-        self.ydump = (YDump(self.cfg, model.grid, self.outdir)
+        self.ydump = (YDump(self.cfg, model.grid, self.outdir, nsv=nsv,
+                            model=model)
                       if self.cfg.output.lydump else None)
-        self.tdump = (TDump(self.cfg, model.grid, self.outdir, nsv)
+        self.tdump = (TDump(self.cfg, model.grid, self.outdir, nsv,
+                            model=model)
                       if self.cfg.output.ltdump else None)
         self.tkedump = (TKEDump(self.cfg, model.grid, self.outdir, model)
                         if self.cfg.output.ltkedump else None)
-        self.ytdump = (YTDump(self.cfg, model.grid, self.outdir)
+        self.ytdump = (YTDump(self.cfg, model.grid, self.outdir, nsv=nsv,
+                              model=model)
                        if self.cfg.output.lytdump else None)
         self.mintdump = (MinTDump(self.cfg, model.grid, self.outdir)
                          if self.cfg.output.lmintdump else None)
