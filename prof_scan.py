@@ -33,7 +33,7 @@ def scan_time(fn, state, K=30, repeats=3):
                   for leaf in jax.tree_util.tree_leaves(out)
                   if hasattr(leaf, "dtype")
                   and jnp.issubdtype(leaf.dtype, jnp.floating))
-        acc2 = (tot * 1e-38).astype(s.c.u.dtype)
+        acc2 = (tot * 1e-10).astype(s.c.u.dtype)
         return (s, acc2), None
 
     @jax.jit
