@@ -161,7 +161,7 @@ class TestSimulation:
         assert yt.variables["uyt"].shape[1:] == (8, 16)
         ks = netcdf_file(str(tmp_path / "kslicedump.000.nc"), "r",
                          mmap=False)
-        assert ks.variables["uk"].shape[1:] == (12, 16)
+        assert ks.variables["u_kslice"].shape[1:] == (12, 16)
         assert ks.variables["time"].shape[0] >= 4
 
     def test_mintdump_treedump(self, tmp_path):

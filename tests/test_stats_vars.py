@@ -121,6 +121,26 @@ class TestVariableSupersets:
         assert not missing, f"ncstatxy: missing {sorted(missing)}"
         d.close()
 
+    def test_slices(self, tmp_path, model_state):
+        """k/i/j slice families must carry the reference names
+        (ncinfo tables at modstatsdump.f90:424-484)."""
+        import dataclasses
+        from udales_tpu.io.stats import SliceDump
+        model, state = model_state
+        cfg = dataclasses.replace(
+            model.cfg, output=dataclasses.replace(
+                model.cfg.output, lkslicedump=True, lislicedump=True,
+                ljslicedump=True))
+        d = SliceDump(cfg, model.grid, tmp_path, nsv=0)
+        d.tnext = 0.0
+        d.maybe_dump(state)
+        for w, table in ((d.writers["k"], "ncstatkslice"),
+                         (d.writers["i"], "ncstatislice"),
+                         (d.writers["j"], "ncstatjslice")):
+            missing = ref_names(table) - set(w._vars)
+            assert not missing, (table, sorted(missing))
+        d.close()
+
     def test_written_values_finite(self, tmp_path, model_state):
         """The new flux/variance variables must hold finite values after a
         sampled write (read back through scipy NetCDF)."""

@@ -66,3 +66,47 @@ def test_solver_ingestion(tmp_path):
     assert np.isfinite(np.asarray(s.c.u)).all()
     # inlet carries turbulent fluctuations
     assert float(jnp.std(s.c.u[0])) > 1e-4
+
+
+def test_temperature_scalar_planes(tmp_path):
+    """Temperature/moisture/scalar fluctuation planes: prescribed variance
+    and w'th' flux reproduced (modSyntheticInflow.f90 temperature
+    pathway), and the Fortran ?driver_* set is emitted alongside."""
+    ny, nz = 24, 16
+    dzf = np.ones(nz) * 0.5
+    u_mean = np.full(nz, 1.0)
+    ww = np.full(nz, 0.04)
+    tt = np.full(nz, 0.09)
+    wth = np.full(nz, -0.03)
+    thl_mean = 290.0 + 0.1 * np.arange(nz)
+    sv_mean = np.stack([np.full(nz, 5.0)])
+    ss = np.stack([np.full(nz, 0.25)])
+    fdir = tmp_path / "fortran"
+    path = tmp_path / "driverdata.901.h5"
+    generate_synthetic_inflow(
+        path, ny, nz, 0.5, dzf, t_end=120.0, dt=0.25,
+        u_mean=u_mean, uu=np.full(nz, 0.04), vv=np.full(nz, 0.04),
+        ww=ww, uw=np.zeros(nz), Ly=1.0, Lz=1.0, Tscale=1.5,
+        thl_mean=thl_mean, tt=tt, wth=wth,
+        sv_mean=sv_mean, ss=ss,
+        fortran_dir=fdir, expnr="901", seed=7)
+    import h5py
+    with h5py.File(path) as f:
+        TH = f["thl"][()]
+        W = f["w"][()][:, :, :nz]
+        SV = f["sv"][()]
+    thp = TH - TH.mean(axis=0)
+    wp = W - W.mean(axis=0)
+    # variance within 40% of target, flux right sign and order
+    assert abs((thp ** 2).mean() / tt.mean() - 1.0) < 0.4
+    flux = (thp * wp).mean()
+    assert flux < 0 and abs(flux / wth.mean() - 1.0) < 0.5
+    svp = SV[:, 0] - SV[:, 0].mean(axis=0)
+    assert abs((svp ** 2).mean() / ss.mean() - 1.0) < 0.4
+    assert np.allclose(TH.mean(axis=(0, 1)), thl_mean, atol=0.2)
+    # Fortran set readable through the reference-format reader
+    from udales_tpu.io.driverfiles import read_driver_files
+    d = read_driver_files(fdir, 901, ny, nz, nsv=1)
+    assert d["u"].shape[0] == len(d["t"])
+    np.testing.assert_allclose(d["thl"][0], TH[0], atol=1e-6)
+    np.testing.assert_allclose(d["sv"][0, 0], SV[0, 0], atol=1e-6)

@@ -605,19 +605,24 @@ class SliceDump:
         self.writers = {}
         exp = f"{cfg.run.iexpnr:03d}"
         o = cfg.output
+        # variable names follow modstatsdump.f90:424-484 ncinfo tables so
+        # udbase reads the files unchanged
         if o.lkslicedump:
             w = NCWriter(Path(outdir) / f"kslicedump.{exp}.nc", grid)
-            for v in ("uk", "vk", "wk", "thlk"):
+            for v in ("u_kslice", "v_kslice", "w_kslice", "thl_kslice",
+                      "qt_kslice"):
                 w.define(v, ("yt", "xt"))
             self.writers["k"] = w
         if o.lislicedump:
             w = NCWriter(Path(outdir) / f"islicedump.{exp}.nc", grid)
-            for v in ("ui", "vi", "wi", "thli"):
+            for v in ("u_islice", "v_islice", "w_islice", "thl_islice",
+                      "qt_islice"):
                 w.define(v, ("zt", "yt"))
             self.writers["i"] = w
         if o.ljslicedump:
             w = NCWriter(Path(outdir) / f"jslicedump.{exp}.nc", grid)
-            for v in ("uj", "vj", "wj", "thlj"):
+            for v in ("u_jslice", "v_jslice", "w_jslice", "thl_jslice",
+                      "qt_jslice"):
                 w.define(v, ("zt", "xt"))
             self.writers["j"] = w
         self.tnext = cfg.output.tsample
@@ -633,22 +638,27 @@ class SliceDump:
         if "k" in self.writers:
             k = min(o.kslice - 1, nz - 1)
             self.writers["k"].append(t, {
-                "uk": np.asarray(c.u[:, :, k]).T,
-                "vk": np.asarray(c.v[:, :, k]).T,
-                "wk": np.asarray(c.w[:, :, k]).T,
-                "thlk": np.asarray(c.thl[:, :, k]).T})
+                "u_kslice": np.asarray(c.u[:, :, k]).T,
+                "v_kslice": np.asarray(c.v[:, :, k]).T,
+                "w_kslice": np.asarray(c.w[:, :, k]).T,
+                "thl_kslice": np.asarray(c.thl[:, :, k]).T,
+                "qt_kslice": np.asarray(c.qt[:, :, k]).T})
         if "i" in self.writers:
             i = min(o.islice - 1, self.grid.itot - 1)
             self.writers["i"].append(t, {
-                "ui": np.asarray(c.u[i]).T, "vi": np.asarray(c.v[i]).T,
-                "wi": np.asarray(c.w[i, :, :nz]).T,
-                "thli": np.asarray(c.thl[i]).T})
+                "u_islice": np.asarray(c.u[i]).T,
+                "v_islice": np.asarray(c.v[i]).T,
+                "w_islice": np.asarray(c.w[i, :, :nz]).T,
+                "thl_islice": np.asarray(c.thl[i]).T,
+                "qt_islice": np.asarray(c.qt[i]).T})
         if "j" in self.writers:
             j = min(o.jslice - 1, self.grid.jtot - 1)
             self.writers["j"].append(t, {
-                "uj": np.asarray(c.u[:, j]).T, "vj": np.asarray(c.v[:, j]).T,
-                "wj": np.asarray(c.w[:, j, :nz]).T,
-                "thlj": np.asarray(c.thl[:, j]).T})
+                "u_jslice": np.asarray(c.u[:, j]).T,
+                "v_jslice": np.asarray(c.v[:, j]).T,
+                "w_jslice": np.asarray(c.w[:, j, :nz]).T,
+                "thl_jslice": np.asarray(c.thl[:, j]).T,
+                "qt_jslice": np.asarray(c.qt[:, j]).T})
 
     def close(self):
         for w in self.writers.values():
