@@ -48,6 +48,44 @@ def test_example_steps(case, umax_bound):
         assert 200.0 < thl.min() < thl.max() < 400.0
 
 
+def test_example_001_physics_oracles():
+    """Deeper oracle for the flat neutral ABL case: divergence-free after
+    projection, near-conserved resolved KE over 10 steps, and slab-mean u
+    bounded by the initial profile scale (the /verify drive oracles, in
+    CI on CPU)."""
+    from udales_tpu.run import load_case
+    model = load_case(EXAMPLES / "001", dtype="float64")
+    state = model.cold_start(seed=7)
+    grid = model.grid
+    nz = grid.ktot
+
+    def ke(s):
+        return float(np.mean(np.asarray(s.c.u) ** 2)
+                     + np.mean(np.asarray(s.c.v) ** 2)
+                     + np.mean(np.asarray(s.c.w) ** 2))
+
+    step = jax.jit(model.step)
+    state = step(state)
+    ke0 = ke(state)
+    for _ in range(9):
+        state = step(state)
+    u = np.asarray(state.c.u)
+    v = np.asarray(state.c.v)
+    w = np.asarray(state.c.w)
+    gu = np.concatenate([u, u[:1]], axis=0)
+    gv = np.concatenate([v, v[:, :1]], axis=1)
+    dzfi = 1.0 / np.diff(np.asarray(grid.zh))
+    div = ((gu[1:] - gu[:-1]) / grid.dx + (gv[:, 1:] - gv[:, :-1]) / grid.dy
+           + (w[:, :, 1:] - w[:, :, :-1]) * dzfi[None, None, :])
+    assert np.abs(div).max() < 1e-10, np.abs(div).max()
+    # neutral ABL: resolved KE near-conserved over a few steps
+    assert 0.85 < ke(state) / ke0 < 1.15
+    # slab-mean u stays of the order of the initial profile
+    ubar = u.mean(axis=(0, 1))
+    assert 0.0 < ubar.max() < 3.0 * np.abs(np.asarray(
+        model.inputs.prof["u"])).max() + 1.0
+
+
 def test_example_102_warmstart_end_to_end(tmp_path):
     """Flagship validation case (BASELINE.json): example 102 run end-to-end
     THROUGH the reference Fortran warmstart machinery.

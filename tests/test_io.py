@@ -200,3 +200,60 @@ class TestSimulation:
         # drag opposes the mean flow inside the canopy, zero outside
         assert tru[0, 1, 5, 5] < 0
         assert tru[0, 1, 5, 12] == 0.0
+
+
+class TestStatsContinuation:
+    def test_lreadmean_equivalent(self, tmp_path):
+        """Statistics continuation across a restart (lreadmean pathway,
+        modstartup.f90:2225): [run A, checkpoint, resume, run B] must
+        produce the same xytdump means as one uninterrupted run."""
+        import dataclasses as dc
+        import sys
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_core import make_cfg, make_model
+        from udales_tpu.run import Model
+        from udales_tpu.sim import Simulation
+        from scipy.io import netcdf_file
+
+        def build(outdir):
+            cfg = make_cfg()
+            cfg = dc.replace(cfg, run=dc.replace(cfg.run, trestart=1e9),
+                             output=dc.replace(cfg.output, lxytdump=True,
+                                               tsample=0.02,
+                                               tstatsdump=0.16))
+            m = make_model(cfg)
+            return Simulation(m, outdir, monitor=False)
+
+        d1 = tmp_path / "full"
+        d1.mkdir()
+        sim1 = build(d1)
+        st = sim1.model.cold_start(seed=4)
+        sim1.run(st, runtime=0.17)
+        sim1.xytdump.close()
+
+        d2 = tmp_path / "split"
+        d2.mkdir()
+        sim2 = build(d2)
+        st2 = sim2.model.cold_start(seed=4)
+        # phase A: ~half the window, then checkpoint with live accumulators
+        stA = sim2.run(st2, runtime=0.08)
+        sim2._write_restart(stA)
+        ck = sorted(d2.glob("initd*.h5"))[-1]
+        # phase B: fresh Simulation resumes the accumulators
+        sim3 = build(d2)
+        from udales_tpu.io.restart import load_checkpoint
+        stB = load_checkpoint(ck, sim3.model.grid, model=sim3.model)
+        sim3.resume_stats(ck)
+        assert float(np.asarray(sim3.xytdump.acc.n)) > 0
+        sim3.run(stB, runtime=0.17 - 0.08)
+        sim3.xytdump.close()
+
+        f1 = netcdf_file(str(d1 / "xytdump.000.nc"), "r", mmap=False)
+        f2 = netcdf_file(str(d2 / "xytdump.000.nc"), "r", mmap=False)
+        u1 = f1.variables["uxyt"][:]
+        u2 = f2.variables["uxyt"][:]
+        assert u1.shape[0] >= 1 and u2.shape[0] >= 1
+        np.testing.assert_allclose(u2[-1], u1[-1], rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(
+            f2.variables["upwpxyt"][:][-1],
+            f1.variables["upwpxyt"][:][-1], rtol=1e-5, atol=1e-9)

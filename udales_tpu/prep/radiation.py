@@ -133,11 +133,32 @@ def solar_direction(zenith_deg: float, azimuth_deg: float):
 
 
 def direct_shortwave(tris, normals, sun_dir, I_dir: float,
-                     subdiv: int = 2) -> np.ndarray:
+                     subdiv: int = 2, use_native: bool | None = None
+                     ) -> np.ndarray:
     """Facet-averaged direct solar irradiance [W/m^2] with shading
     (directShortwave.f90 semantics): per sub-patch, the patch receives
     I_dir * max(0, n . s) unless a shading ray toward the sun hits any
-    facet."""
+    facet.
+
+    Dispatches to the OpenMP C++ kernel (native/radiation.cpp) when it
+    builds — the pure-numpy path is O(n_patches x n_facets) and takes
+    minutes beyond ~1000 facets (use_native=False forces it; a warning is
+    emitted on large pure-numpy runs)."""
+    if use_native is None:
+        use_native = len(tris) * 4 ** subdiv > 4096
+    if use_native:
+        try:
+            from . import native
+            native.get_radiation_lib()
+            return native.direct_shortwave(tris, normals, sun_dir, I_dir,
+                                           subdiv=subdiv)
+        except Exception:
+            pass
+    if len(tris) > 1000:
+        import warnings
+        warnings.warn(
+            f"pure-numpy direct_shortwave on {len(tris)} facets — expect "
+            f"minutes; the native kernel (g++) is strongly recommended")
     sub, parent = _subdivide(tris, subdiv)
     cen = sub.mean(axis=1)
     area = triangle_areas(sub)

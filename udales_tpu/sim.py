@@ -8,6 +8,7 @@ trestart, tcheck) and the ``exit_now.<exp>`` graceful-stop sentinel
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import time
@@ -355,9 +356,53 @@ class Simulation:
             "WGR": np.asarray(fac.wsoil),
         })
 
+    def _stats_writers(self):
+        """Active statistics writers with resumable accumulators."""
+        out = {}
+        for name in ("xytdump", "tdump", "ytdump", "tkedump", "mintdump",
+                     "treedump"):
+            w = getattr(self, name, None)
+            if w is not None and hasattr(w, "acc"):
+                out[name] = w
+        return out
+
     def _write_restart(self, state):
         name = self.outdir / f"initd{self.ntrun:08d}.{self._exp()}.h5"
         save_checkpoint(name, state, self.ntrun)
+        # statistics continuation (the reference's lreadmean pathway,
+        # modstartup.f90:2225-2280, reads legacy means/SGS files; here the
+        # live accumulators of every enabled family ride the checkpoint)
+        import h5py
+        with h5py.File(name, "a") as f:
+            sg = f.create_group("stats")
+            for fam, w in self._stats_writers().items():
+                g = sg.create_group(fam)
+                acc = jax.device_get(w.acc)
+                items = (acc.items() if isinstance(acc, dict)
+                         else dataclasses.asdict(acc).items())
+                for k, v in items:
+                    g.create_dataset(k, data=np.asarray(v))
+                g.attrs["tnext_sample"] = w.tnext_sample
+                g.attrs["tnext_write"] = w.tnext_write
+
+    def resume_stats(self, ckpt_path):
+        """Restore statistics accumulators from a checkpoint written by
+        _write_restart (lreadmean-equivalent continuation)."""
+        import h5py
+        with h5py.File(ckpt_path, "r") as f:
+            if "stats" not in f:
+                return
+            for fam, w in self._stats_writers().items():
+                if fam not in f["stats"]:
+                    continue
+                g = f["stats"][fam]
+                data = {k: jnp.asarray(g[k][()]) for k in g}
+                if isinstance(w.acc, dict):
+                    w.acc = {k: data.get(k, v) for k, v in w.acc.items()}
+                else:
+                    w.acc = type(w.acc)(**data)
+                w.tnext_sample = float(g.attrs["tnext_sample"])
+                w.tnext_write = float(g.attrs["tnext_write"])
 
     def _checksim(self, state, nsteps, wall0):
         """Runtime monitor (modchecksim.f90:76-205): Courant number,
@@ -509,6 +554,7 @@ def main(argv=None):
             ck = case / model.cfg.run.startfile
             ck = ck if ck.exists() else Path(outdir) / model.cfg.run.startfile
             state = load_checkpoint(ck, model.grid, model=model)
+            sim.resume_stats(ck)   # lreadmean-equivalent continuation
         else:
             # reference Fortran unformatted restart files
             from .io.restart import warmstart_state
