@@ -81,6 +81,21 @@ class TestViewFactors:
         assert abs(F12 - 0.199825) < 1e-3, F12
         # reciprocity: A_i F_ij = A_j F_ji (equal areas here)
         np.testing.assert_allclose(F[0, 2], F[2, 0], rtol=1e-6)
+        # the analytic contour method must hit the value to quadrature
+        # precision (<1e-6), including the quad-average of the
+        # shared-edge perpendicular case (Howell C-14: 0.20004)
+        from udales_tpu.prep.radiation import view_factors_exact
+        Fe, _ = view_factors_exact(tris, normals, occlusion=False)
+        assert abs(Fe[0, 2] + Fe[0, 3] - 0.199825) < 1e-5
+        sq3 = np.array([[[0, 0, 0], [1, 0, 0], [1, 0, 1]],
+                        [[0, 0, 0], [1, 0, 1], [0, 0, 1]]], float)
+        n3 = np.array([[0, 1, 0], [0, 1, 0]], float)
+        tp = np.concatenate([sq1, sq3])
+        npn = np.concatenate([normals[:2], n3])
+        Fp, _ = view_factors_exact(tp, npn, occlusion=False)
+        a = np.array([0.5, 0.5])
+        quad_F = (a @ (Fp[:2, 2:] @ np.ones(2))) / 1.0
+        assert abs(quad_F - 0.20004) < 1e-4, quad_F
         assert 0.4 < svf[0] < 0.9
 
     def test_enclosure_bound(self):

@@ -167,10 +167,12 @@ class TestViewFactors201:
         with netcdf_file(str(case / "vf.nc.inp.201"), "r", mmap=False) as f:
             VF = f.variables["view factor"][:].astype(np.float64)
         svf_ref = np.loadtxt(case / "svf.inp.201", skiprows=1)
-        F, svf = native.view_factors(tris, nrm, subdiv=1, occlusion=True)
-        # sky view factors: full-set agreement
-        assert np.corrcoef(svf, svf_ref)[0, 1] > 0.99
-        assert np.abs(svf - svf_ref).mean() < 0.02
+        from udales_tpu.prep.radiation import view_factors_hybrid
+        F, svf = view_factors_hybrid(tris, nrm, subdiv=1)
+        # sky view factors: full-set agreement (hybrid contour+patch;
+        # measured mean |d| 0.0096 vs the View3D fixture)
+        assert np.corrcoef(svf, svf_ref)[0, 1] > 0.995
+        assert np.abs(svf - svf_ref).mean() < 0.012
         # F matrix: only on View3D-converged rows (see module docstring)
         good = np.abs(VF.sum(axis=1) + svf_ref - 1.0) < 0.05
         assert good.sum() > 200

