@@ -193,3 +193,27 @@ z0h = 0.00035
         # solid u inside the building stays ~0
         assert np.abs(u[7:9, 7:9, 1]).max() < 0.1
         assert np.abs(u).max() < 5.0
+
+
+class TestPrepPipelineExtras:
+    def test_solar_datetime_and_trees(self, tmp_path):
+        """prepare_case with a date/site solar state and a trees.inp file
+        produces netsw from the computed sun and the sparse veg set."""
+        stl = tmp_path / "geom.stl"
+        make_box_stl(stl, 6, 10, 6, 10, 4, 16.0, 16.0)
+        trees = tmp_path / "trees.inp.902"
+        trees.write_text("# trees\n 2 4 2 4 1 3\n")
+        cfg = PrepConfig(itot=16, jtot=16, ktot=16, xlen=16.0, ylen=16.0,
+                         zsize=16.0, expnr="902", with_radiation=True,
+                         vf_subdiv=1,
+                         solar_datetime="2011-06-21T12:00",
+                         latitude=51.5, longitude=0.0,
+                         trees_file=str(trees))
+        counts = prepare_case(stl, tmp_path, cfg)
+        assert counts["ntrees"] == 3 * 3 * 3
+        nsw = np.loadtxt(tmp_path / "netsw.inp.902", skiprows=1)
+        assert len(nsw) == counts["nfcts"]
+        # June noon at 51.5N: strong sun, roof well lit
+        assert nsw.max() > 300.0
+        veg = np.loadtxt(tmp_path / "veg.inp.902", skiprows=1)
+        assert len(veg) == 27
