@@ -144,3 +144,37 @@ class TestNetShortwave:
         netsw = out["netsw"]
         assert netsw is not None and (netsw >= 0).all()
         assert np.isfinite(netsw).all()
+
+
+class TestTimedepSW:
+    def test_diurnal_cycle_roundtrip(self, tmp_path):
+        """timedepsw generation: netsw follows the diurnal cycle (dark
+        before sunrise, peak near solar noon) and the written file loads
+        through the solver's Timedep reader."""
+        from datetime import datetime
+        from udales_tpu.prep.solar import generate_timedepsw
+        # a single roof facet (two triangles)
+        tris = np.array([[[0, 0, 5], [4, 0, 5], [4, 4, 5]],
+                         [[0, 0, 5], [4, 4, 5], [0, 4, 5]]], float)
+        nrm = np.array([[0, 0, 1.0], [0, 0, 1.0]])
+        svf = np.ones(2)
+        al = np.full(2, 0.3)
+        t, tab = generate_timedepsw(
+            tris, nrm, datetime(2011, 6, 21, 3, 0), runtime=15 * 3600.0,
+            dtSP=3600.0, latitude=51.5, longitude=0.0, albedo=al, svf=svf,
+            subdiv=1, outpath=tmp_path, expnr="903")
+        assert tab.shape == (16, 2)
+        assert tab[0].max() < 5.0          # 03:00 London: dark
+        peak = t[np.argmax(tab[:, 0])] / 3600.0
+        assert 7.0 < peak < 11.0           # peak near solar noon (UTC ~9h
+                                           # after the 03:00 start)
+        assert tab.max() > 400.0
+        # reader round trip
+        import dataclasses
+        from udales_tpu.config import Config, PhysicsConfig
+        from udales_tpu.timedep import Timedep
+        cfg = Config(physics=PhysicsConfig(ltimedepsw=True))
+        td = Timedep.load(tmp_path, "903", cfg, 8, dtype=np.float64)
+        assert td is not None
+        mid = float(np.asarray(td.net_sw(t[8]))[0])
+        assert abs(mid - tab[8, 0]) < 1e-3

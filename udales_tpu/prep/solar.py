@@ -117,6 +117,44 @@ def net_shortwave_reflected(sdir, dsky, vf, svf, albedo, tol: float = 0.01,
     return knet
 
 
+def generate_timedepsw(tris, normals, start: datetime, runtime: float,
+                       dtSP: float, latitude: float, longitude: float,
+                       timezone: float = 0.0, xazimuth: float = 0.0,
+                       albedo=None, vf=None, svf=None, subdiv: int = 2,
+                       outpath=None, expnr: str | None = None):
+    """Time-dependent facet net shortwave (udprep
+    run_short_wave_timedep -> timedepsw.inp, consumed by
+    modtimedep.f90:425 timedepsw): the solar state is advanced every
+    `dtSP` seconds over `runtime` from `start`, and each sample's shaded
+    direct beam + diffuse/reflection closure is written as one row
+    ``t  netsw_1..netsw_nfcts``.
+
+    Returns (t_seconds (nt,), netsw (nt, nfcts))."""
+    times = np.arange(0.0, runtime + 0.5 * dtSP, dtSP)
+    rows = []
+    for tsec in times:
+        when = start + timedelta(seconds=float(tsec))
+        out = generate_shortwave(tris, normals, when, latitude, longitude,
+                                 timezone, xazimuth, albedo=albedo, vf=vf,
+                                 svf=svf, subdiv=subdiv)
+        nsw = out["netsw"]
+        if nsw is None:
+            nsw = out["sdir"]
+        rows.append(np.asarray(nsw))
+    table = np.stack(rows)
+    if outpath is not None:
+        exp = expnr or "000"
+        from pathlib import Path
+        p = Path(outpath)
+        p = p / f"timedepsw.inp.{exp}" if p.is_dir() else p
+        with open(p, "w") as f:
+            f.write("# time then net shortwave per facet [W/m2]\n")
+            for tsec, row in zip(times, table):
+                f.write(f"{tsec:12.2f} "
+                        + " ".join(f"{v:.3f}" for v in row) + "\n")
+    return times, table
+
+
 def generate_shortwave(tris, normals, when: datetime, latitude: float,
                        longitude: float, timezone: float = 0.0,
                        xazimuth: float = 0.0, albedo=None, vf=None,
