@@ -194,3 +194,76 @@ def test_example_201_eb_state():
     T = np.asarray(state.fac.T)
     assert T.shape[0] == model.eb.nfcts == 994
     assert 200.0 < T.min() < T.max() < 400.0
+
+
+def test_example_024_config_parses():
+    """The 1024^3 production case: namoptions + stretched-z profile parse
+    and the grid builds (no state allocation — it would not fit one
+    device; its namoptions declare a 32x32 process grid)."""
+    from udales_tpu.config import load_namoptions
+    from udales_tpu.grid import Grid
+    cfg = load_namoptions(EXAMPLES / "024/namoptions.024")
+    assert cfg.domain.itot == cfg.domain.jtot == cfg.domain.ktot == 1024
+    d = cfg.domain
+    grid = Grid.from_prof_inp(EXAMPLES / "024/prof.inp.024", d.itot,
+                              d.jtot, d.ktot, d.xlen, d.ylen,
+                              dtype=np.float64)
+    assert grid.ktot == 1024
+    assert np.all(np.diff(np.asarray(grid.zf)) > 0)
+
+
+def test_cli_end_to_end(tmp_path):
+    """`python -m udales_tpu <case>` runs a generated mini case through
+    the CLI: outputs + monitor + restart produced, exit code 0."""
+    import subprocess
+    import sys
+    (tmp_path / "namoptions.905").write_text("""
+&RUN
+iexpnr = 905
+runtime = 0.1
+trestart = 0.05
+ladaptive = .true.
+dtmax = 0.02
+/
+&DOMAIN
+itot = 8
+jtot = 8
+ktot = 8
+xlen = 8.
+ylen = 8.
+/
+&OUTPUT
+lfielddump = .true.
+tfielddump = 0.04
+fieldvars = 'u0,w0'
+lxytdump = .true.
+tsample = 0.02
+tstatsdump = 0.08
+/
+""")
+    (tmp_path / "prof.inp.905").write_text(
+        "# prof\n# z thl qt u v e12\n" + "".join(
+            f"{z + 0.5:8.3f} 288.0 0.0 1.0 0.0 5e-5\n" for z in range(8)))
+    (tmp_path / "lscale.inp.905").write_text(
+        "# lscale\n# z ug vg pgx pgy wfls dqtdx dqtdy dqtdt dthlrad\n"
+        + "".join(f"{z + 0.5:8.3f} 0 0 0 0 0 0 0 0 0\n"
+                  for z in range(8)))
+    out = tmp_path / "out"
+    out.mkdir()
+    import os
+    env = dict(os.environ)
+    # force the CPU backend: JAX_PLATFORMS alone is overridden by the
+    # axon sitecustomize, so drop it from PYTHONPATH too
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        p_ for p_ in env.get("PYTHONPATH", "").split(":")
+        if "axon" not in p_) or str(Path(__file__).parents[1])
+    r = subprocess.run(
+        [sys.executable, "-m", "udales_tpu", str(tmp_path),
+         "--outdir", str(out), "--dtype", "float64"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "monitor.905.txt").exists()
+    assert (out / "fielddump.905.nc").exists()
+    assert (out / "xytdump.905.nc").exists()
+    assert list(out.glob("initd*.h5"))
