@@ -51,3 +51,17 @@ def test_multistep_sharding_invariance():
                                atol=1e-8, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(out.c.w), np.asarray(ref.c.w),
                                atol=1e-8, rtol=1e-8)
+
+
+def test_multihost_helpers_single_process():
+    """init_distributed is a no-op single-process; global_mesh factors the
+    virtual 8-device pool into the expected 2-D mesh."""
+    from udales_tpu.parallel.multihost import global_mesh, init_distributed
+    pid, n = init_distributed()
+    assert pid == 0 and n >= 1
+    mesh = global_mesh()
+    import jax
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("x", "y")
+    m2 = global_mesh(4, 2)
+    assert m2.devices.shape == (4, 2)
