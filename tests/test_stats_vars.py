@@ -158,3 +158,31 @@ class TestVariableSupersets:
             for name, var in f.variables.items():
                 a = np.array(var[:])
                 assert np.isfinite(a).all(), name
+
+
+class TestFacetFileNames:
+    """fac/facT/facEB variable names vs the reference ncinfo tables
+    (modibm.f90:230-237, modEB.f90:303-314)."""
+
+    def _names(self, src, table):
+        pat = re.compile(rf"call ncinfo\({table}\(\s*\d+,:\),'([^']+)'")
+        out = set()
+        for line in Path(src).read_text().splitlines():
+            line = line.strip()
+            if line.startswith("!"):
+                continue
+            m = pat.search(line)
+            if m:
+                out.add(m.group(1))
+        return out
+
+    def test_names_in_sim_writers(self):
+        sim_src = (Path(__file__).parents[1]
+                   / "udales_tpu/sim.py").read_text()
+        for src, table in (("/root/reference/src/modibm.f90", "ncstatfac"),
+                           ("/root/reference/src/modEB.f90", "ncstatT"),
+                           ("/root/reference/src/modEB.f90", "ncstatEB")):
+            names = self._names(src, table)
+            assert names
+            for n in names:
+                assert f'"{n}"' in sim_src, (table, n)
