@@ -133,11 +133,15 @@ def read_driver_files(ddir: str | Path, driverjobnr: int, jtot: int,
             raw = np.frombuffer(path.read_bytes(), "<f8")
             rec = nj * nk * ncomp
             n_avail = len(raw) // rec
+            # an interrupted precursor can leave fewer plane records than
+            # timestamps; use what exists (remaining steps stay zero and
+            # the time-interp clamps before them)
+            nuse = min(nt, n_avail)
             arr = raw[:n_avail * rec].reshape(
                 (n_avail, ncomp, nk, nj)).transpose(0, 1, 3, 2)
             # Fortran order (j fastest, then k, then component)
-            glob[:, :, did * jmax:(did + 1) * jmax, :] = \
-                arr[:nt, :, jh:jh + jmax, :]
+            glob[:nuse, :, did * jmax:(did + 1) * jmax, :] = \
+                arr[:nuse, :, jh:jh + jmax, :]
         return glob
 
     for name, pref in (("u", "u"), ("v", "v")):
