@@ -188,16 +188,20 @@ def _diff_w_plane(g, grid: Grid, kf: int):
     return t_x + t_y + t_z
 
 
-def fused_diff_mom(g, grid: Grid):
+def fused_diff_mom(g, grid: Grid, pack=None):
     """diff_u + diff_v + diff_w in one Pallas kernel (TPU); plain jnp path
     on CPU / unsupported sizes.  Inputs are the h=1 ghosted fields of
-    ops/boundary."""
+    ops/boundary.  When the caller supplies the substep's shared
+    `GradPack`, the jnp path uses `subgrid.fused_diffusion` (edge fluxes
+    shared with the closure) instead of the three standalone sweeps."""
     from . import subgrid as sgs
     nx, ny, nz = grid.shape
     interpret = os.environ.get("UDALES_PALLAS_INTERPRET") == "1"
     enabled = os.environ.get("UDALES_PALLAS") == "1"
     if not interpret and (jax.default_backend() == "cpu"
                           or not enabled or nz % 128 != 0):
+        if pack is not None:
+            return sgs.fused_diffusion(pack, g, grid)
         return sgs.diff_u(g, grid), sgs.diff_v(g, grid), sgs.diff_w(g, grid)
 
     W = nz

@@ -10,11 +10,31 @@ Re-derivations of src/modsubgrid.f90:
 
 Model constants follow modsubgriddata.f90 defaults and the initsubgrid
 derivations (modsubgrid.f90:45-80).
+
+TPU op-count design: the closure and the three momentum-diffusion sweeps
+share one set of *corner-located* strain primitives (`GradPack`, computed
+once per substep).  The reference recomputes every velocity difference in
+each of modsubgrid.f90's five loops; on a VPU-compute-bound TPU step (see
+docs/performance.md) the recomputation is the dominant cost, so here:
+
+  - S12 = du/dy + dv/dx on xy-edges serves diffu's t_y, diffv's t_x, the
+    Vreman a12/a21 (as 4-corner averages) and strain2, all exactly — the
+    reference's corner brackets ARE these edge values (modsubgrid.f90:
+    700-707 vs 806-813 vs 243-247).
+  - likewise S13 (xz-edges) and S23 (yz-edges).
+  - the corner-interpolated viscosities (empo/emmo/emop/emom families,
+    modsubgrid.f90:683-698) collapse to three shared corner fields
+    Exy/Exz/Eyz, and the *fluxes* F12 = Exy*S12 etc. are shared between
+    the two sweeps that difference them.
+
+Within-f32-ulp equivalent to the standalone stencils (addition order of
+the 4-term averages differs); `tests/test_gradpack.py` pins the match.
 """
 from __future__ import annotations
 
 import math
 from functools import partial
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
@@ -77,10 +97,107 @@ def _gradients(g, grid: Grid):
     return a11, a12, a13, a21, a22, a23, a31, a32, a33
 
 
-def vreman_closure(g, grid: Grid, cfg: Config, dthvdz=None, thl=None):
+class GradPack(NamedTuple):
+    """Shared velocity-gradient primitives, computed once per substep.
+
+    Corner index convention: corner index ``ci`` sits at ``x_{ci-1/2}``
+    (the u-face of cell ``ci``), ``ci in [0, nx]``; same for ``cj``/``ck``
+    (``ck`` is the w-face, so ``ck in [0, nz]``).
+    """
+    D11: jnp.ndarray   # (nx+1, ny, nz)   du/dx at centre ci-1,  ci=0..nx
+    D22: jnp.ndarray   # (nx, ny+1, nz)   dv/dy at centre cj-1
+    D33: jnp.ndarray   # (nx, ny, nz)     dw/dz at centres
+    C12u: jnp.ndarray  # (nx+1, ny+1, nz) du/dy on xy-edges
+    C12v: jnp.ndarray  # (nx+1, ny+1, nz) dv/dx on xy-edges
+    S12: jnp.ndarray   # C12u + C12v
+    C13u: jnp.ndarray  # (nx+1, ny, nz+1) du/dz on xz-edges
+    C13w: jnp.ndarray  # (nx+1, ny, nz+1) dw/dx on xz-edges
+    S13: jnp.ndarray
+    C23v: jnp.ndarray  # (nx, ny+1, nz+1) dv/dz on yz-edges
+    C23w: jnp.ndarray  # (nx, ny+1, nz+1) dw/dy on yz-edges
+    S23: jnp.ndarray
+
+
+def compute_gradpack(g, grid: Grid) -> GradPack:
+    """All first differences of (u, v, w) used by closure + diffusion,
+    each computed exactly once.  `g` carries h=1/hk=1 ghosted velocities
+    (ops/boundary conventions; w has faces 0..nz)."""
+    nx, ny, nz = grid.shape
+    u, v, w = g.u, g.v, g.w
+    dxi, dyi = grid.dxi, grid.dyi
+    dzhi = grid.j("dzhi")
+    dzhi_c = dzhi[: nz + 1][None, None, :]
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+
+    D11 = (u[1:, 1:1 + ny, 1:1 + nz] - u[:-1, 1:1 + ny, 1:1 + nz]) * dxi
+    D22 = (v[1:1 + nx, 1:, 1:1 + nz] - v[1:1 + nx, :-1, 1:1 + nz]) * dyi
+    D33 = (w[1:1 + nx, 1:1 + ny, 1:] - w[1:1 + nx, 1:1 + ny, :-1]) * dzfi_k
+
+    C12u = (u[1:, 1:, 1:1 + nz] - u[1:, :-1, 1:1 + nz]) * dyi
+    C12v = (v[1:, 1:, 1:1 + nz] - v[:-1, 1:, 1:1 + nz]) * dxi
+    C13u = (u[1:, 1:1 + ny, 1:] - u[1:, 1:1 + ny, :-1]) * dzhi_c
+    C13w = (w[1:, 1:1 + ny, :] - w[:-1, 1:1 + ny, :]) * dxi
+    C23v = (v[1:1 + nx, 1:, 1:] - v[1:1 + nx, 1:, :-1]) * dzhi_c
+    C23w = (w[1:1 + nx, 1:, :] - w[1:1 + nx, :-1, :]) * dyi
+    return GradPack(D11, D22, D33, C12u, C12v, C12u + C12v,
+                    C13u, C13w, C13u + C13w, C23v, C23w, C23v + C23w)
+
+
+def _avg4xy(C):
+    return 0.25 * (C[:-1, :-1] + C[1:, :-1] + C[:-1, 1:] + C[1:, 1:])
+
+
+def _avg4xz(C):
+    return 0.25 * (C[:-1, :, :-1] + C[1:, :, :-1] + C[:-1, :, 1:]
+                   + C[1:, :, 1:])
+
+
+def _avg4yz(C):
+    return 0.25 * (C[:, :-1, :-1] + C[:, 1:, :-1] + C[:, :-1, 1:]
+                   + C[:, 1:, 1:])
+
+
+def _gradients_pack(pack: GradPack, g, grid: Grid):
+    """Cell-centred velocity-gradient tensor from the shared pack
+    (modsubgrid.f90:281-305).  a12/a13/a21/a23 are 4-corner averages of the
+    edge derivatives (identical values, re-associated sum); a31/a32 keep the
+    reference's dzf-weighted interface form which has no edge equivalent."""
+    nx, ny, nz = grid.shape
+    S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
+    u, v = g.u, g.v
+    dzf = grid.j("dzf_g")
+    dzf_k = kvec(dzf, 1, nz); dzf_kp = kvec(dzf, 2, nz); dzf_km = kvec(dzf, 0, nz)
+    dzhi = grid.j("dzhi")
+    dzhi_k = kvec(dzhi, 0, nz); dzhi_kp = kvec(dzhi, 1, nz)
+    dzfiq_k = kvec(grid.j("dzfiq"), 0, nz)
+
+    a11 = pack.D11[1:]
+    a22 = pack.D22[:, 1:]
+    a33 = pack.D33
+    a12 = _avg4xy(pack.C12v)
+    a21 = _avg4xy(pack.C12u)
+    a13 = _avg4xz(pack.C13w)
+    a23 = _avg4yz(pack.C23w)
+    a31 = (((S(u, 1, 0, 1) + S(u, 0, 0, 1)) * dzf_k
+            + (S(u, 1, 0, 0) + S(u, 0, 0, 0)) * dzf_kp) * dzhi_kp
+           - ((S(u, 1, 0, 0) + S(u, 0, 0, 0)) * dzf_km
+              + (S(u, 1, 0, -1) + S(u, 0, 0, -1)) * dzf_k) * dzhi_k) * dzfiq_k
+    a32 = (((S(v, 0, 1, 1) + S(v, 0, 0, 1)) * dzf_k
+            + (S(v, 0, 1, 0) + S(v, 0, 0, 0)) * dzf_kp) * dzhi_kp
+           - ((S(v, 0, 1, 0) + S(v, 0, 0, 0)) * dzf_km
+              + (S(v, 0, 1, -1) + S(v, 0, 0, -1)) * dzf_k) * dzhi_k) * dzfiq_k
+    return a11, a12, a13, a21, a22, a23, a31, a32, a33
+
+
+def vreman_closure(g, grid: Grid, cfg: Config, dthvdz=None, thl=None,
+                   pack: GradPack | None = None):
     """Vreman (2004) eddy viscosity (modsubgrid.f90:269-360)."""
     nz = grid.ktot
-    a11, a12, a13, a21, a22, a23, a31, a32, a33 = _gradients(g, grid)
+    if pack is None:
+        a11, a12, a13, a21, a22, a23, a31, a32, a33 = _gradients(g, grid)
+    else:
+        a11, a12, a13, a21, a22, a23, a31, a32, a33 = \
+            _gradients_pack(pack, g, grid)
     aa = (a11 * a11 + a21 * a21 + a31 * a31 + a12 * a12 + a22 * a22
           + a32 * a32 + a13 * a13 + a23 * a23 + a33 * a33)
     dx2, dy2 = grid.dx2, grid.dy2
@@ -162,14 +279,30 @@ def _strain2(g, grid: Grid):
     return s2
 
 
-def smagorinsky_closure(g, grid: Grid, cfg: Config):
+def _strain2_pack(pack: GradPack):
+    """strain2 from the shared pack: the reference's corner brackets
+    (modsubgrid.f90:235-255) are exactly the S1j edge values."""
+    s2 = (pack.D11[1:] ** 2 + pack.D22[:, 1:] ** 2 + pack.D33 ** 2)
+    sq = pack.S13 ** 2
+    s2 = s2 + 0.125 * (sq[:-1, :, 1:] + sq[:-1, :, :-1]
+                       + sq[1:, :, :-1] + sq[1:, :, 1:])
+    sq = pack.S12 ** 2
+    s2 = s2 + 0.125 * (sq[:-1, 1:] + sq[:-1, :-1] + sq[1:, :-1] + sq[1:, 1:])
+    sq = pack.S23 ** 2
+    s2 = s2 + 0.125 * (sq[:, :-1, 1:] + sq[:, :-1, :-1]
+                       + sq[:, 1:, :-1] + sq[:, 1:, 1:])
+    return s2
+
+
+def smagorinsky_closure(g, grid: Grid, cfg: Config,
+                        pack: GradPack | None = None):
     """(modsubgrid.f90:208-264). csz = (cm^3/ceps)^(1/4) unless cs given."""
     nz = grid.ktot
     cm, ch2, ce1, ce2, ceps = sgs_const.derived(
         cfg.subgrid.prandtl, cfg.subgrid.cf, cfg.subgrid.cn, cfg.subgrid.rigc)
     csz = (cm ** 3 / ceps) ** 0.25 if cfg.subgrid.cs == -1.0 else cfg.subgrid.cs
     mlen = csz * kvec(grid.j("delta"), 0, nz)
-    s2 = _strain2(g, grid)
+    s2 = _strain2(g, grid) if pack is None else _strain2_pack(pack)
     ekm = (mlen ** 2) * jnp.sqrt(2.0 * s2)
     prandtli = 1.0 / cfg.subgrid.prandtl
     ekh = ekm * prandtli + const.numol * const.prandtlmoli
@@ -199,15 +332,17 @@ def oneeqn_closure(g, grid: Grid, cfg: Config, e12, dthvdz, thvs):
 
 
 def closure(g, grid: Grid, cfg: Config, e12=None, dthvdz=None, thl=None,
-            thvs=None):
+            thvs=None, pack: GradPack | None = None):
     """Dispatch (modsubgrid.f90:159-412). Returns interior ekm, ekh (and zlt
-    for the one-equation model, else None)."""
+    for the one-equation model, else None).  Pass `pack`
+    (`compute_gradpack`) to share the velocity differences with the
+    diffusion sweeps (`fused_diffusion`)."""
     model = cfg.subgrid.model
     if model == SGS_VREMAN:
-        ekm, ekh = vreman_closure(g, grid, cfg, dthvdz, thl)
+        ekm, ekh = vreman_closure(g, grid, cfg, dthvdz, thl, pack=pack)
         return ekm, ekh, None
     if model == SGS_SMAGORINSKY:
-        ekm, ekh = smagorinsky_closure(g, grid, cfg)
+        ekm, ekh = smagorinsky_closure(g, grid, cfg, pack=pack)
         return ekm, ekh, None
     if model == SGS_ONEEQN:
         return oneeqn_closure(g, grid, cfg, e12, dthvdz, thvs)
@@ -218,14 +353,15 @@ def closure(g, grid: Grid, cfg: Config, e12=None, dthvdz=None, thl=None,
     return ekm, ekh, None
 
 
-def tke_sources(g, grid: Grid, cfg: Config, e12, ekm, ekh, dthvdz, zlt, thvs):
+def tke_sources(g, grid: Grid, cfg: Config, e12, ekm, ekh, dthvdz, zlt, thvs,
+                pack: GradPack | None = None):
     """Shear + buoyancy + dissipation sources of the e12 equation
     (modsubgrid.f90:415-538). Applied for k >= kb+1 only (wall functions
     handle the lowest level)."""
     nz = grid.ktot
     cm, ch2, ce1, ce2, _ = sgs_const.derived(
         cfg.subgrid.prandtl, cfg.subgrid.cf, cfg.subgrid.cn, cfg.subgrid.rigc)
-    tdef2 = 2.0 * _strain2(g, grid)
+    tdef2 = 2.0 * (_strain2(g, grid) if pack is None else _strain2_pack(pack))
     numolh = const.numol * const.prandtlmoli
     e12s = jnp.maximum(e12, 1e-30)
     sbshr = (ekm - const.numol) * tdef2 / (2.0 * e12s)
@@ -356,6 +492,58 @@ def diff_w(g, grid: Grid):
     tend = t_x + t_y + t_z
     zeros = jnp.zeros((nx, ny, 1), tend.dtype)
     return jnp.concatenate([zeros, tend, zeros], axis=2)
+
+
+def fused_diffusion(pack: GradPack, g, grid: Grid):
+    """diffu + diffv + diffw (modsubgrid.f90:672-997) from the shared
+    gradient pack: interpolate ekm to the three edge families once
+    (Exy/Exz/Eyz == the reference's empo/emom/eomm... stencils), form the
+    six shared fluxes F11..F23 = ekm * S, and difference them.  Each flux
+    feeds BOTH sweeps that use it (e.g. F12 -> diffu t_y and diffv t_x),
+    halving the stencil op count vs the standalone `diff_u/v/w`."""
+    nx, ny, nz = grid.shape
+    e = g.ekm
+    dxi, dyi = grid.dxi, grid.dyi
+    dzf = grid.j("dzf_g")
+    dzhiq = grid.j("dzhiq")
+    dzhi = grid.j("dzhi")
+    dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+
+    # edge-interpolated viscosities (one array per edge family)
+    Exy = 0.25 * (e[1:, 1:, 1:1 + nz] + e[:-1, 1:, 1:1 + nz]
+                  + e[1:, :-1, 1:1 + nz] + e[:-1, :-1, 1:1 + nz])
+    dzf_lo = dzf[: nz + 1][None, None, :]    # dzf of cell ck-1
+    dzf_hi = dzf[1: nz + 2][None, None, :]   # dzf of cell ck
+    dzhiq_c = dzhiq[: nz + 1][None, None, :]
+    Exz = (dzf_lo * (e[1:, 1:1 + ny, 1:] + e[:-1, 1:1 + ny, 1:])
+           + dzf_hi * (e[1:, 1:1 + ny, :-1] + e[:-1, 1:1 + ny, :-1])
+           ) * dzhiq_c
+    Eyz = (dzf_lo * (e[1:1 + nx, 1:, 1:] + e[1:1 + nx, :-1, 1:])
+           + dzf_hi * (e[1:1 + nx, 1:, :-1] + e[1:1 + nx, :-1, :-1])
+           ) * dzhiq_c
+
+    # shared fluxes
+    F11 = e[: 1 + nx, 1:1 + ny, 1:1 + nz] * pack.D11
+    F22 = e[1:1 + nx, : 1 + ny, 1:1 + nz] * pack.D22
+    F33 = e[1:1 + nx, 1:1 + ny, 1:1 + nz] * pack.D33
+    F12 = Exy * pack.S12
+    F13 = Exz * pack.S13
+    F23 = Eyz * pack.S23
+
+    tu = ((F11[1:] - F11[:-1]) * (2.0 * dxi)
+          + (F12[:-1, 1:] - F12[:-1, :-1]) * dyi
+          + (F13[:-1, :, 1:] - F13[:-1, :, :-1]) * dzfi_k)
+    tv = ((F12[1:, :-1] - F12[:-1, :-1]) * dxi
+          + (F22[:, 1:] - F22[:, :-1]) * (2.0 * dyi)
+          + (F23[:, :-1, 1:] - F23[:, :-1, :-1]) * dzfi_k)
+    # w faces kf = 1..nz-1 (interior); faces 0 and nz stay zero
+    dzhi_f = dzhi[1:nz][None, None, :]
+    tw = ((F13[1:, :, 1:nz] - F13[:-1, :, 1:nz]) * dxi
+          + (F23[:, 1:, 1:nz] - F23[:, :-1, 1:nz]) * dyi
+          + (F33[:, :, 1:] - F33[:, :, :-1]) * (2.0 * dzhi_f))
+    zeros = jnp.zeros((nx, ny, 1), tw.dtype)
+    tw = jnp.concatenate([zeros, tw, zeros], axis=2)
+    return tu, tv, tw
 
 
 def diff_c(gc, gekh, grid: Grid):

@@ -51,6 +51,7 @@ class Model:
         self.inlet = None  # ops.openbc.Inlet for open-x runs
         self.igparams = None  # ops.inletgen.InletGenParams (iinletgen=1)
         self.inlet_y = None  # ops.openbc.Inlet for open-y runs (profile only)
+        self.driver_stream = None  # io.driverstream.DriverStream (lchunkread)
         self.vegetation = None   # physics.Vegetation
         self.heatpumps = None    # physics.HeatPumps
         self.scalsources = None  # physics.ScalarSources
@@ -193,6 +194,11 @@ class Model:
                 inlet_planes = inletgen_planes(ig_new, self.inlet, ny, nz)
             elif self.inlet.mode == BC_RECYCLE:
                 inlet_planes = recycle_planes(self.inlet, c, ny, nz)
+            elif state.drv is not None:
+                # streaming replay: lerp from the rolling device window
+                # (lchunkread, moddriver.f90:933; io/driverstream.py)
+                from .ops.openbc import driver_window_planes
+                inlet_planes = driver_window_planes(state.drv, state.timee)
             else:
                 inlet_planes = self.inlet.planes(state.timee, ny, nz)
             openx = {"inlet": inlet_planes, "bx": c.bx}
@@ -211,11 +217,12 @@ class Model:
         thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
         if closure_out is None:
             gvel = _velocity_ghosts(c, cfg, grid, openx, openy)
+            pack = sgs.compute_gradpack(gvel, grid)
             ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
                                         dthvdz=th.dthvdz, thl=c.thl,
-                                        thvs=thvs)
+                                        thvs=thvs, pack=pack)
         else:
-            ekm, ekh, zlt = closure_out
+            ekm, ekh, zlt, pack = closure_out
 
         g = make_ghosts(c, ekm, ekh, cfg, grid, openx=openx, openy=openy)
 
@@ -250,7 +257,7 @@ class Model:
 
         # --- subgrid diffusion (Pallas-fused on TPU) ------------------------
         from .ops.pallas_stencil import fused_diff_mom
-        xu, xv, xw = fused_diff_mom(g, grid)
+        xu, xv, xw = fused_diff_mom(g, grid, pack=pack)
         du, dv, dw = du + xu, dv + xv, dw + xw
         if ltemp:
             dthl = dthl + sgs.diff_c(g.thl, g.ekh, grid)
@@ -262,7 +269,7 @@ class Model:
         if cfg.subgrid.model == SGS_ONEEQN:
             de12 = de12 + sgs.diff_e(g, grid)
             de12 = de12 + sgs.tke_sources(g, grid, cfg, c.e12, ekm, ekh,
-                                          th.dthvdz, zlt, thvs)
+                                          th.dthvdz, zlt, thvs, pack=pack)
 
         # --- floor wall functions (modibm.bottom) --------------------------
         bu, bv, bthl, bqt, bsv = bottom_tendencies(g, cfg, grid, nsv)
@@ -598,7 +605,9 @@ class Model:
             IIc = masks.c if masks is not None else jnp.ones_like(p)
             pij = avexy_masked(p, IIc)
             pij = jnp.where(pij < -900.0, 0.0, pij)
-            dw = dw.at[..., nz].add(2.0 * pij[nz - 1] / grid.dzh[-1])
+            # float(): the numpy f64 metric scalar would promote the f32
+            # scatter update to f64 (hard error in future JAX)
+            dw = dw.at[..., nz].add(2.0 * pij[nz - 1] / float(grid.dzh[-1]))
         return du, dv, dw, p, du_out, dv_out
 
     # -- dt control (modtstep.tstep_update:49-154) --------------------------
@@ -641,6 +650,9 @@ class Model:
                 planes0 = inletgen_planes(state.ig, self.inlet, ny, nz)
             elif self.inlet.mode == BC_RECYCLE:
                 planes0 = recycle_planes(self.inlet, state.m, ny, nz)
+            elif state.drv is not None:
+                from .ops.openbc import driver_window_planes
+                planes0 = driver_window_planes(state.drv, state.timee)
             else:
                 planes0 = self.inlet.planes(state.timee, ny, nz)
             openx0 = {"inlet": planes0, "bx": state.m.bx}
@@ -652,9 +664,10 @@ class Model:
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(state.m, self.cfg, self.grid, masks)
         thvs = self.cfg.bc.thls if self.cfg.bc.thls > 0 else 288.0
+        pack = sgs.compute_gradpack(gvel, self.grid)
         ekm, ekh, zlt = sgs.closure(gvel, self.grid, self.cfg,
                                     e12=state.m.e12, dthvdz=th.dthvdz,
-                                    thl=state.m.thl, thvs=thvs)
+                                    thl=state.m.thl, thvs=thvs, pack=pack)
         dt = self.new_dt(state, ekm, ekh)
         state = state.replace(dt=dt, timee=state.timee + dt)
         # c == m at step entry, so substep 1 reuses the diagnostics computed
@@ -664,7 +677,8 @@ class Model:
         # there (th is ghost-free and stays exact).
         closed = openx0 is None and openy0 is None
         state = self.substep(state, 1, th=th,
-                             closure_out=(ekm, ekh, zlt) if closed else None)
+                             closure_out=(ekm, ekh, zlt, pack)
+                             if closed else None)
         for rk3step in (2, 3):
             state = self.substep(state, rk3step)
         # facet energy balance fires every dtEB (quantized), modEB.f90:429
@@ -806,7 +820,19 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         djob = cfg.driver.driverjobnr
         dpath = case_dir / f"driverdata.{djob:03d}.h5"
         tdrv = case_dir / f"tdriver_000.{djob:03d}"
-        if dpath.exists():
+        if cfg.driver.lchunkread and tdrv.exists():
+            # streaming replay (lchunkread, moddriver.f90:933): only
+            # chunkread_size planes live on device; the Simulation loop
+            # refills State.drv between steps (io/driverstream.py)
+            from .io.driverstream import DriverStream
+            model.inlet = Inlet(mode=_BCD)
+            model.driver_stream = DriverStream(
+                case_dir, djob, dom.jtot, dom.ktot, grid.dtype,
+                chunk=cfg.driver.chunkread_size,
+                driverstore=cfg.driver.driverstore or None,
+                nsv=cfg.scalars.nsv, ltempeq=cfg.physics.ltempeq,
+                lmoist=cfg.physics.lmoist)
+        elif dpath.exists():
             model.inlet = load_driver_inlet(dpath, grid.dtype)
         elif tdrv.exists():
             # reference Fortran ?driver_* files (moddriver.f90:750
