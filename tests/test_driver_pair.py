@@ -135,3 +135,29 @@ class TestDriverPair:
         assert mask.sum() > 0.5 * mask.size
         err = np.abs(got - want)[mask].max()
         assert err < 1e-6, err
+
+        # --- stage 2b: chunked streaming replay (lchunkread) must track
+        # the full-in-memory replay bit-for-bit across window refills ----
+        nam = (c950 / "namoptions.950").read_text()
+        nam = nam.replace(
+            "&DRIVER",
+            "&DRIVER\nlchunkread = .true.\nchunkread_size = 4", 1)
+        (c950 / "namoptions.950").write_text(nam)
+        model3 = load_case(c950, dtype="float64")
+        assert model3.driver_stream is not None
+        assert model3.driver_stream.chunk == 4
+        state_c = model3.cold_start()
+        state_f = model2.cold_start()
+        step3 = jax.jit(model3.step)
+        step2 = jax.jit(model2.step)
+        refills = {model3.driver_stream.n0}
+        for _ in range(8):
+            state_c = model3.driver_stream.ensure(state_c)
+            refills.add(model3.driver_stream.n0)
+            state_c = step3(state_c)
+            state_f = step2(state_f)
+        assert len(refills) >= 2   # the run crossed at least one window
+        np.testing.assert_array_equal(np.asarray(state_c.c.u),
+                                      np.asarray(state_f.c.u))
+        np.testing.assert_array_equal(np.asarray(state_c.c.thl),
+                                      np.asarray(state_f.c.thl))

@@ -108,9 +108,14 @@ def write_driver_files(outdir: str | Path, expnr: str, times, planes: dict,
 def read_driver_files(ddir: str | Path, driverjobnr: int, jtot: int,
                       ktot: int, driverstore: int | None = None,
                       nprocy: int | None = None, nsv: int = 0,
-                      ltempeq: bool = True, lmoist: bool = False):
+                      ltempeq: bool = True, lmoist: bool = False,
+                      start: int = 0):
     """Read a reference driver-file set into global arrays
     (moddriver.f90 readdriverfile:750 semantics, all y-ranks assembled).
+
+    `start`/`driverstore` select a record window [start, start+driverstore)
+    — the chunked-read pathway (readdriverfile_chunk, moddriver.f90:933)
+    reads windows without touching the rest of the file.
 
     Returns dict with t (nt,), u/v (nt, jtot, ktot), w (nt, jtot, ktot+1),
     thl/qt when present, sv (nt, nsv, jtot, ktot) when present."""
@@ -119,6 +124,7 @@ def read_driver_files(ddir: str | Path, driverjobnr: int, jtot: int,
     if nprocy is None:  # autodetect the precursor's y decomposition
         nprocy = max(len(list(ddir.glob(f"udriver_*.{exp}"))), 1)
     t = np.frombuffer((ddir / f"tdriver_000.{exp}").read_bytes(), "<f8")
+    t = t[start:]
     if driverstore is not None:
         t = t[:driverstore]
     nt = len(t)
@@ -128,20 +134,23 @@ def read_driver_files(ddir: str | Path, driverjobnr: int, jtot: int,
     def read_planes(pref, jh, kh, ncomp=1):
         nj, nk = jmax + 2 * jh, ktot + 2 * kh
         glob = np.zeros((nt, ncomp, jtot, nk))
+        rec = nj * nk * ncomp
         for did in range(nprocy):
             path = ddir / f"{pref}driver_{did:03d}.{exp}"
-            raw = np.frombuffer(path.read_bytes(), "<f8")
-            rec = nj * nk * ncomp
-            n_avail = len(raw) // rec
+            n_file = path.stat().st_size // (8 * rec)
             # an interrupted precursor can leave fewer plane records than
             # timestamps; use what exists (remaining steps stay zero and
             # the time-interp clamps before them)
-            nuse = min(nt, n_avail)
-            arr = raw[:n_avail * rec].reshape(
-                (n_avail, ncomp, nk, nj)).transpose(0, 1, 3, 2)
+            nuse = max(min(nt, n_file - start), 0)
+            if nuse == 0:
+                continue
+            with open(path, "rb") as f:
+                f.seek(start * rec * 8)
+                raw = np.frombuffer(f.read(nuse * rec * 8), "<f8")
+            arr = raw.reshape((nuse, ncomp, nk, nj)).transpose(0, 1, 3, 2)
             # Fortran order (j fastest, then k, then component)
             glob[:nuse, :, did * jmax:(did + 1) * jmax, :] = \
-                arr[:nuse, :, jh:jh + jmax, :]
+                arr[:, :, jh:jh + jmax, :]
         return glob
 
     for name, pref in (("u", "u"), ("v", "v")):

@@ -105,6 +105,38 @@ class Inlet:
                     e12=None)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DriverWindow:
+    """Rolling device window of a precursor driver series (the lchunkread
+    equivalent, moddriver.f90:933).  Carried as a State leaf so the host
+    can swap chunks between jitted steps without recompiling; all leaves
+    keep fixed shapes (W = chunkread_size records)."""
+    t: Any     # (W,) record times
+    u: Any     # (W, ny, nz)
+    v: Any     # (W, ny, nz)
+    w: Any     # (W, ny, nz+1)
+    thl: Any   # (W, ny, nz)  zeros when the precursor wrote no hdriver
+    qt: Any    # (W, ny, nz)
+    sv: Any    # (W, nsv, ny, nz)
+
+
+def driver_window_planes(drv: DriverWindow, timee):
+    """Inlet planes at `timee` from the current window (clamp + lerp, the
+    drivergen interpolation of moddriver.f90 idriver==2)."""
+    t = drv.t
+    idx = jnp.clip(jnp.searchsorted(t, timee, side="right") - 1,
+                   0, t.shape[0] - 2)
+    t0 = t[idx]
+    t1 = t[idx + 1]
+    a = jnp.clip((timee - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
+    a = a.astype(drv.u.dtype)
+    lerp = lambda f: (1.0 - a) * f[idx] + a * f[idx + 1]
+    return dict(u=lerp(drv.u), v=lerp(drv.v), w=lerp(drv.w),
+                thl=lerp(drv.thl), qt=lerp(drv.qt), sv=lerp(drv.sv),
+                e12=None)
+
+
 def recycle_planes(inlet: Inlet, c, ny: int, nz: int):
     """Rescale-recycle inlet (compact Lund-1998, modinlet.f90 inletgen:202):
     the inlet plane is the target mean profile plus the de-meaned
@@ -133,7 +165,8 @@ def uouttot_value(cfg: Config, u0av, grid: Grid):
     if cfg.physics.luvolflowr:
         return jnp.asarray(cfg.physics.uflowrate, u0av.dtype)
     dzf = jnp.asarray(grid.j("dzf"))
-    return jnp.sum(u0av * dzf) / (grid.zh[-1] - grid.zh[1])
+    # float(): numpy f64 scalar would promote the f32 result
+    return jnp.sum(u0av * dzf) / float(grid.zh[-1] - grid.zh[1])
 
 
 def vouttot_value(cfg: Config, v0av, grid: Grid):
@@ -141,7 +174,7 @@ def vouttot_value(cfg: Config, v0av, grid: Grid):
     if cfg.physics.lvvolflowr:
         return jnp.asarray(cfg.physics.vflowrate, v0av.dtype)
     dzf = jnp.asarray(grid.j("dzf"))
-    return jnp.sum(v0av * dzf) / (grid.zh[-1] - grid.zh[1])
+    return jnp.sum(v0av * dzf) / float(grid.zh[-1] - grid.zh[1])
 
 
 @jax.tree_util.register_dataclass

@@ -225,6 +225,11 @@ class Simulation:
             jax.profiler.start_trace(str(self.profile_dir))
             prof_ctx = True
         while float(state.timee) < t_end:
+            if self.model.driver_stream is not None:
+                # streaming precursor replay: swap in the next chunk when
+                # timee crosses the device window (lchunkread equivalent;
+                # same shapes -> no recompile)
+                state = self.model.driver_stream.ensure(state)
             state = self.step(state)
             nsteps += 1
             self.ntrun += 1

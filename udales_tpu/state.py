@@ -62,6 +62,8 @@ class State:
     ig: Any = None   # InletGen rescale-recycle state (ops/inletgen.py)
     taud: Any = None  # wall-stress diagnostics dict (tau_x/y/z, thl_flux)
                       # for fielddump tx/ty/tz/hf codes (modibm.f90:1185)
+    drv: Any = None  # DriverWindow: rolling precursor-replay chunk
+                     # (lchunkread streaming, io/driverstream.py)
 
     def replace(self, **kw):
         return replace(self, **kw)
