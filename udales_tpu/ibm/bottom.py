@@ -35,14 +35,16 @@ def bottom_tendencies(g, cfg: Config, grid: Grid, nsv: int = 0):
     z0 = cfg.bc.z0 if cfg.bc.z0 > 0 else 0.03
     z0h = cfg.bc.z0h if cfg.bc.z0h > 0 else z0 / 10.0
     thls = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
-    delta = 0.5 * grid.dzf[0]
-    logdz = jnp.log(delta / z0)
-    logzh = jnp.log(z0 / z0h)
-    sqdz = jnp.sqrt(delta / z0)
-    dzfi0 = grid.dzfi[0]
-    dzhi0 = grid.dzhi[0]
-    dzhiq0 = grid.dzhiq[0]
-    dzf_g = grid.dzf_g  # [0]=ghost, [1]=k0
+    # metrics as Python floats: numpy f64 scalars are strong-typed and
+    # would promote the f32 scatter updates below to f64
+    delta = 0.5 * float(grid.dzf[0])
+    logdz = jnp.log(jnp.asarray(delta / z0, dt))
+    logzh = jnp.log(jnp.asarray(z0 / z0h, dt))
+    sqdz = jnp.sqrt(jnp.asarray(delta / z0, dt))
+    dzfi0 = float(grid.dzfi[0])
+    dzhi0 = float(grid.dzhi[0])
+    dzhiq0 = float(grid.dzhiq[0])
+    dzf_g = [float(grid.dzf_g[0]), float(grid.dzf_g[1])]  # [0]=ghost, [1]=k0
 
     # interior slices at k=0 (ghost offset 1 in x/y and k)
     u0 = g.u[1:-1, 1:-1, 1]

@@ -12,6 +12,7 @@ N full steps in `lax.scan` so adaptive-dt simulation runs entirely on device.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from pathlib import Path
 from typing import Any, Optional
@@ -217,7 +218,8 @@ class Model:
         thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
         if closure_out is None:
             gvel = _velocity_ghosts(c, cfg, grid, openx, openy)
-            pack = sgs.compute_gradpack(gvel, grid)
+            pack = (sgs.compute_gradpack(gvel, grid)
+                    if os.environ.get("UDALES_CLOSURE_PACK") == "1" else None)
             ekm, ekh, zlt = sgs.closure(gvel, grid, cfg, e12=c.e12,
                                         dthvdz=th.dthvdz, thl=c.thl,
                                         thvs=thvs, pack=pack)
@@ -664,7 +666,8 @@ class Model:
         masks = self.ibm.masks if self.ibm is not None else None
         th = thermodynamics(state.m, self.cfg, self.grid, masks)
         thvs = self.cfg.bc.thls if self.cfg.bc.thls > 0 else 288.0
-        pack = sgs.compute_gradpack(gvel, self.grid)
+        pack = (sgs.compute_gradpack(gvel, self.grid)
+                if os.environ.get("UDALES_CLOSURE_PACK") == "1" else None)
         ekm, ekh, zlt = sgs.closure(gvel, self.grid, self.cfg,
                                     e12=state.m.e12, dthvdz=th.dthvdz,
                                     thl=state.m.thl, thvs=thvs, pack=pack)
