@@ -121,6 +121,30 @@ class TestVariableSupersets:
         assert not missing, f"ncstatxy: missing {sorted(missing)}"
         d.close()
 
+    def test_tkedump(self, tmp_path, model_state):
+        """ltkedump now carries the reference's ncstattke names
+        (modstatsdump.f90:396-404) alongside the descriptive ones."""
+        from udales_tpu.io.stats import TKEDump
+        model, state = model_state
+        d = TKEDump(model.cfg, model.grid, tmp_path, model=model)
+        d.tnext_sample = 0.0
+        d.maybe_sample(state)
+        have = set(d.writer._vars)
+        missing = ref_names("ncstattke") - have
+        assert not missing, f"ncstattke: missing {sorted(missing)}"
+        d.write(1.0)
+        d.close()
+        # alias pairs must be numerically identical; the budget terms
+        # finite
+        from scipy.io import netcdf_file
+        f = netcdf_file(d.writer.path, "r")
+        data = {k: np.asarray(v[:]) for k, v in f.variables.items()}
+        for a, b in (("p_b", "buoy"), ("t_p", "ptrans"), ("t_t", "ttrans"),
+                     ("p_t", "shear")):
+            np.testing.assert_array_equal(data[a], data[b])
+        for k in ("adv", "t_sgs", "t_v", "d_sgs"):
+            assert np.isfinite(data[k]).all(), k
+
     def test_slices(self, tmp_path, model_state):
         """k/i/j slice families must carry the reference names
         (ncinfo tables at modstatsdump.f90:424-484)."""

@@ -207,6 +207,9 @@ class TKEDump:
     transport, pressure transport, SGS dissipation, and the TKE itself,
     written to tkedump.<exp>.nc every tstatsdump."""
 
+    # descriptive names plus the reference's ncstattke aliases
+    # (modstatsdump.f90:396-404: p_b t_p adv t_t t_sgs p_t t_v d_sgs) so
+    # udbase-style post-processing finds the expected variables
     _VARS = [
         ("tke", ("zt",), "m^2/s^2"),
         ("shear", ("zt",), "m^2/s^3"),
@@ -215,6 +218,14 @@ class TKEDump:
         ("ptrans", ("zt",), "m^2/s^3"),
         ("sgsdiss", ("zt",), "m^2/s^3"),
         ("resid", ("zt",), "m^2/s^3"),
+        ("p_b", ("zt",), "m^2/s^3"),     # buoyancy production (== buoy)
+        ("t_p", ("zt",), "m^2/s^3"),     # pressure transport (== ptrans)
+        ("adv", ("zt",), "m^2/s^3"),     # advection by the mean wind
+        ("t_t", ("zt",), "m^2/s^3"),     # turbulent transport (== ttrans)
+        ("t_sgs", ("zt",), "m^2/s^3"),   # SGS transport
+        ("p_t", ("zt",), "m^2/s^3"),     # shear production (== shear)
+        ("t_v", ("zt",), "m^2/s^3"),     # resolved viscous dissipation
+        ("d_sgs", ("zt",), "m^2/s^3"),   # SGS dissipation
     ]
 
     def __init__(self, cfg, grid, outdir: str | Path = ".", model=None):
@@ -237,7 +248,8 @@ class TKEDump:
         self.acc = dict(n=jnp.zeros((), dt), u=z(), v=z(), w=z(nz + 1),
                         uu=z(), vv=z(), ww=z(nz + 1), uw=z(nz + 1),
                         wthv=z(nz + 1), thvw=z(nz + 1), we=z(nz + 1),
-                        wp=z(nz + 1), eps=z())
+                        wp=z(nz + 1), eps=z(), eps_mol=z(),
+                        fsgs=z(nz + 1))
 
     def _acc(self, acc, state):
         from ..ops.thermo import slab_mean
@@ -266,6 +278,19 @@ class TKEDump:
         ekm, ekh, _ = sgs.closure(g, self.grid, self.model.cfg, e12=c.e12,
                                   dthvdz=None, thl=c.thl, thvs=288.0)
         eps = av(ekm * 2.0 * s2)
+        from ..config import const as _c
+        eps_mol = av(jnp.asarray(_c.numol, s2.dtype) * 2.0 * s2)
+        # SGS flux of resolved KE through w faces: ekm|_w * d(e)/dz
+        # (profile reduction of the reference's tsgsmz terms,
+        # modstatsdump.f90 tkestatsdump)
+        e_c = 0.5 * (c.u ** 2 + c.v ** 2
+                     + (0.5 * (c.w[..., 1:] + c.w[..., :-1])) ** 2)
+        dzhi = self.grid.j("dzhi")
+        dedz = (e_c[..., 1:] - e_c[..., :-1]) \
+            * dzhi[1:nz][None, None, :].astype(e_c.dtype)
+        ekm_w = 0.5 * (ekm[..., 1:] + ekm[..., :-1])
+        zpl = jnp.zeros(e_c.shape[:2] + (1,), e_c.dtype)
+        fsgs = av(jnp.concatenate([zpl, ekm_w * dedz, zpl], axis=2))
         return dict(
             n=acc["n"] + 1,
             u=acc["u"] + av(c.u), v=acc["v"] + av(c.v),
@@ -277,7 +302,8 @@ class TKEDump:
             thvw=acc["thvw"] + av(thv_at_w),
             we=acc["we"] + av(e_at_w * c.w),
             wp=acc["wp"] + av(p_at_w * c.w),
-            eps=acc["eps"] + eps)
+            eps=acc["eps"] + eps, eps_mol=acc["eps_mol"] + eps_mol,
+            fsgs=acc["fsgs"] + fsgs)
 
     def maybe_sample(self, state):
         t = float(state.timee)
@@ -317,9 +343,21 @@ class TKEDump:
         tke = 0.5 * (up2 + vp2 + 0.5 * (wp2[1:] + wp2[:-1]))
         sgsdiss = -m("eps")
         resid = shear + buoy + ttrans + ptrans + sgsdiss
+        # reference-name terms (modstatsdump.f90 tkestatsdump):
+        # adv = <u_j> d(tke)/dx_j; in the slab-profile reduction only the
+        # vertical term survives (x/y slab gradients vanish)
+        dtkedz = np.zeros(nz + 1)
+        dtkedz[1:nz] = (tke[1:] - tke[:-1]) / g.dzh[1:nz]
+        adv = 0.5 * (w[1:] * dtkedz[1:] + w[:-1] * dtkedz[:-1])
+        fsgs = m("fsgs")
+        t_sgs = (fsgs[1:] - fsgs[:-1]) / g.dzf
+        t_v = -m("eps_mol")                  # resolved viscous dissipation
+        d_sgs = sgsdiss - t_v                # SGS-only part of -eps_total
         self.writer.append(t, {
             "tke": tke, "shear": shear, "buoy": buoy, "ttrans": ttrans,
-            "ptrans": ptrans, "sgsdiss": sgsdiss, "resid": resid})
+            "ptrans": ptrans, "sgsdiss": sgsdiss, "resid": resid,
+            "p_b": buoy, "t_p": ptrans, "adv": adv, "t_t": ttrans,
+            "t_sgs": t_sgs, "p_t": shear, "t_v": t_v, "d_sgs": d_sgs})
         self._zero()
 
     def close(self):
