@@ -35,8 +35,7 @@ def test_fused_diffusion_matches_standalone():
     nx, ny, nz = 12, 10, 9
     grid = _grid(nx, ny, nz)
     g = _random_ghosted(nx, ny, nz)
-    pack = sgs.compute_gradpack(g, grid)
-    tu, tv, tw = sgs.fused_diffusion(pack, g, grid)
+    tu, tv, tw = sgs.fused_diffusion(g, grid)
     np.testing.assert_allclose(tu, sgs.diff_u(g, grid), rtol=0, atol=1e-12)
     np.testing.assert_allclose(tv, sgs.diff_v(g, grid), rtol=0, atol=1e-12)
     np.testing.assert_allclose(tw, sgs.diff_w(g, grid), rtol=0, atol=1e-12)

@@ -200,9 +200,17 @@ def fused_diff_mom(g, grid: Grid, pack=None):
     enabled = os.environ.get("UDALES_PALLAS") == "1"
     if not interpret and (jax.default_backend() == "cpu"
                           or not enabled or nz % 128 != 0):
-        if pack is not None:
-            return sgs.fused_diffusion(pack, g, grid)
-        return sgs.diff_u(g, grid), sgs.diff_v(g, grid), sgs.diff_w(g, grid)
+        # The flux-difference form (sgs.fused_diffusion) has ~40% fewer
+        # VPU ops but its shared fluxes are multi-consumer, and XLA
+        # materializes them to HBM instead of duplicating into both
+        # consumers: interleaved A/B on the v5e chip measured it SLOWER
+        # (128^3: 5.75 -> 8.07 ms/step; 256^3: 77.3 -> 97.4; see
+        # docs/performance.md "round 4").  The standalone sweeps fuse into
+        # three clean single-consumer chains and win; keep them default.
+        if os.environ.get("UDALES_DIFF") == "fused":
+            return sgs.fused_diffusion(g, grid)
+        return (sgs.diff_u(g, grid), sgs.diff_v(g, grid),
+                sgs.diff_w(g, grid))
 
     W = nz
     dtype = g.u.dtype

@@ -494,52 +494,87 @@ def diff_w(g, grid: Grid):
     return jnp.concatenate([zeros, tend, zeros], axis=2)
 
 
-def fused_diffusion(pack: GradPack, g, grid: Grid):
-    """diffu + diffv + diffw (modsubgrid.f90:672-997) from the shared
-    gradient pack: interpolate ekm to the three edge families once
-    (Exy/Exz/Eyz == the reference's empo/emom/eomm... stencils), form the
-    six shared fluxes F11..F23 = ekm * S, and difference them.  Each flux
-    feeds BOTH sweeps that use it (e.g. F12 -> diffu t_y and diffv t_x),
-    halving the stencil op count vs the standalone `diff_u/v/w`."""
+def fused_diffusion(g, grid: Grid):
+    """diffu + diffv + diffw (modsubgrid.f90:672-997) in flux-difference
+    form: interpolate ekm to the three edge families once (Exy/Exz/Eyz ==
+    the reference's empo/emom/eomm... stencils), form the shared fluxes
+    F11..F23 = ekm * S, and difference them.  Each flux feeds BOTH sweeps
+    that use it (e.g. F12 -> diffu t_y and diffv t_x), cutting the stencil
+    op count vs the standalone `diff_u/v/w`.
+
+    TPU layout rules observed here (v5e measurements):
+      - everything is computed inside THIS one multi-output fusion from
+        the 4 ghosted fields (4 HBM reads); reusing the closure's
+        materialized GradPack across the ekm-halo boundary costs
+        77.6 -> 89.5 ms/step at 256^3,
+      - no intermediate carries nz+1 lanes: 257 lanes pad to 384 on the
+        minor (lane) dim, so each z-edge flux is evaluated at the two
+        face offsets (a = faces 0..nz-1, b = faces 1..nz) as separate
+        nz-lane arrays — 2 clean evaluations beat 1 padded one and still
+        share between the two sweeps that difference them."""
     nx, ny, nz = grid.shape
-    e = g.ekm
+    u, v, w, e = g.u, g.v, g.w, g.ekm
     dxi, dyi = grid.dxi, grid.dyi
     dzf = grid.j("dzf_g")
     dzhiq = grid.j("dzhiq")
     dzhi = grid.j("dzhi")
     dzfi_k = kvec(grid.j("dzfi"), 0, nz)
+    kv = lambda a, lo: a[lo: lo + nz][None, None, :]
 
-    # edge-interpolated viscosities (one array per edge family)
+    # --- xy-edge family (nz lanes throughout) --------------------------
+    S12 = ((u[1:, 1:, 1:1 + nz] - u[1:, :-1, 1:1 + nz]) * dyi
+           + (v[1:, 1:, 1:1 + nz] - v[:-1, 1:, 1:1 + nz]) * dxi)
     Exy = 0.25 * (e[1:, 1:, 1:1 + nz] + e[:-1, 1:, 1:1 + nz]
                   + e[1:, :-1, 1:1 + nz] + e[:-1, :-1, 1:1 + nz])
-    dzf_lo = dzf[: nz + 1][None, None, :]    # dzf of cell ck-1
-    dzf_hi = dzf[1: nz + 2][None, None, :]   # dzf of cell ck
-    dzhiq_c = dzhiq[: nz + 1][None, None, :]
-    Exz = (dzf_lo * (e[1:, 1:1 + ny, 1:] + e[:-1, 1:1 + ny, 1:])
-           + dzf_hi * (e[1:, 1:1 + ny, :-1] + e[:-1, 1:1 + ny, :-1])
-           ) * dzhiq_c
-    Eyz = (dzf_lo * (e[1:1 + nx, 1:, 1:] + e[1:1 + nx, :-1, 1:])
-           + dzf_hi * (e[1:1 + nx, 1:, :-1] + e[1:1 + nx, :-1, :-1])
-           ) * dzhiq_c
+    F12 = Exy * S12                       # (nx+1, ny+1, nz)
 
-    # shared fluxes
-    F11 = e[: 1 + nx, 1:1 + ny, 1:1 + nz] * pack.D11
-    F22 = e[1:1 + nx, : 1 + ny, 1:1 + nz] * pack.D22
-    F33 = e[1:1 + nx, 1:1 + ny, 1:1 + nz] * pack.D33
-    F12 = Exy * pack.S12
-    F13 = Exz * pack.S13
-    F23 = Eyz * pack.S23
+    # --- diagonal fluxes (nz lanes) ------------------------------------
+    D11 = (u[1:, 1:1 + ny, 1:1 + nz] - u[:-1, 1:1 + ny, 1:1 + nz]) * dxi
+    D22 = (v[1:1 + nx, 1:, 1:1 + nz] - v[1:1 + nx, :-1, 1:1 + nz]) * dyi
+    D33 = (w[1:1 + nx, 1:1 + ny, 1:] - w[1:1 + nx, 1:1 + ny, :-1]) * dzfi_k
+    F11 = e[: 1 + nx, 1:1 + ny, 1:1 + nz] * D11
+    F22 = e[1:1 + nx, : 1 + ny, 1:1 + nz] * D22
+    F33 = e[1:1 + nx, 1:1 + ny, 1:1 + nz] * D33
+
+    # --- xz-edge family at the two face offsets ------------------------
+    def F13_at(lo):   # faces lo .. lo+nz-1, (nx+1, ny, nz)
+        S = ((u[1:, 1:1 + ny, 1 + lo: 1 + lo + nz]
+              - u[1:, 1:1 + ny, lo: lo + nz]) * kv(dzhi, lo)
+             + (w[1:, 1:1 + ny, lo: lo + nz]
+                - w[:-1, 1:1 + ny, lo: lo + nz]) * dxi)
+        E = ((kv(dzf, lo) * (e[1:, 1:1 + ny, 1 + lo: 1 + lo + nz]
+                             + e[:-1, 1:1 + ny, 1 + lo: 1 + lo + nz])
+              + kv(dzf, 1 + lo) * (e[1:, 1:1 + ny, lo: lo + nz]
+                                   + e[:-1, 1:1 + ny, lo: lo + nz]))
+             * kv(dzhiq, lo))
+        return E * S
+
+    def F23_at(lo):   # (nx, ny+1, nz)
+        S = ((v[1:1 + nx, 1:, 1 + lo: 1 + lo + nz]
+              - v[1:1 + nx, 1:, lo: lo + nz]) * kv(dzhi, lo)
+             + (w[1:1 + nx, 1:, lo: lo + nz]
+                - w[1:1 + nx, :-1, lo: lo + nz]) * dyi)
+        E = ((kv(dzf, lo) * (e[1:1 + nx, 1:, 1 + lo: 1 + lo + nz]
+                             + e[1:1 + nx, :-1, 1 + lo: 1 + lo + nz])
+              + kv(dzf, 1 + lo) * (e[1:1 + nx, 1:, lo: lo + nz]
+                                   + e[1:1 + nx, :-1, lo: lo + nz]))
+             * kv(dzhiq, lo))
+        return E * S
+
+    F13a, F13b = F13_at(0), F13_at(1)     # faces k and k+1
+    F23a, F23b = F23_at(0), F23_at(1)
 
     tu = ((F11[1:] - F11[:-1]) * (2.0 * dxi)
           + (F12[:-1, 1:] - F12[:-1, :-1]) * dyi
-          + (F13[:-1, :, 1:] - F13[:-1, :, :-1]) * dzfi_k)
+          + (F13b[:-1] - F13a[:-1]) * dzfi_k)
     tv = ((F12[1:, :-1] - F12[:-1, :-1]) * dxi
           + (F22[:, 1:] - F22[:, :-1]) * (2.0 * dyi)
-          + (F23[:, :-1, 1:] - F23[:, :-1, :-1]) * dzfi_k)
-    # w faces kf = 1..nz-1 (interior); faces 0 and nz stay zero
+          + (F23b[:, :-1] - F23a[:, :-1]) * dzfi_k)
+    # w faces kf = 1..nz-1 (interior); faces 0 and nz stay zero.
+    # F13b[..., m] sits at face m+1 -> slice m = 0..nz-2 covers kf=1..nz-1.
     dzhi_f = dzhi[1:nz][None, None, :]
-    tw = ((F13[1:, :, 1:nz] - F13[:-1, :, 1:nz]) * dxi
-          + (F23[:, 1:, 1:nz] - F23[:, :-1, 1:nz]) * dyi
+    tw = ((F13b[1:, :, : nz - 1] - F13b[:-1, :, : nz - 1]) * dxi
+          + (F23b[:, 1:, : nz - 1] - F23b[:, :-1, : nz - 1]) * dyi
           + (F33[:, :, 1:] - F33[:, :, :-1]) * (2.0 * dzhi_f))
     zeros = jnp.zeros((nx, ny, 1), tw.dtype)
     tw = jnp.concatenate([zeros, tw, zeros], axis=2)
