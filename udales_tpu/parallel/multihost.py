@@ -49,3 +49,25 @@ def global_mesh(nprocx: int | None = None, nprocy: int | None = None):
             nprocy -= 1
         nprocx = n // nprocy
     return make_mesh(nprocx, nprocy)
+
+
+def shard_state_global(state, mesh):
+    """Multi-process-safe variant of `mesh.shard_state`: every process holds
+    the same global (host) State and contributes only its addressable
+    shards (`jax.make_array_from_callback`), which is the supported path
+    when the mesh spans devices of several processes.  Works identically in
+    single-process runs."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from .mesh import _leaf_spec
+
+    def put(path, leaf):
+        if leaf is None:
+            return None
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, _leaf_spec(path, leaf)),
+            lambda idx: arr[idx])
+    return jax.tree_util.tree_map_with_path(put, state)
