@@ -334,11 +334,46 @@ class IBM:
         nx, ny, nz = g.shape
         shape = (nx, ny, nz + 1) if which == "w" else (nx, ny, nz)
         N = int(np.prod(shape))
-        ijk = s.ijk[act]
-        area = s.area[act]
-        dist = s.dist[act]
-        fid = s.fac[act]
-        flat = np.ravel_multi_index((ijk[:, 0], ijk[:, 1], ijk[:, 2]), shape)
+        ijk0 = s.ijk[act]
+        area0 = s.area[act]
+        dist0 = s.dist[act]
+        fid0 = s.fac[act]
+        flat0 = np.ravel_multi_index((ijk0[:, 0], ijk0[:, 1], ijk0[:, 2]),
+                                     shape)
+
+        # --- exact coplanar merge (K-slot compaction) --------------------
+        # STL geometry triangulates every quad, so most multi-section cells
+        # hold 2+ sections of the SAME plane (equal normal/dist/z0/z0h/
+        # surface temperature); their wallfun contributions are linear in
+        # area, so summing areas per (cell, plane) group is exact and cuts
+        # the slot count K — the dense stacks cost K * n^3 HBM reads per
+        # substep (measured: the urban bench case carries K=5..6 with slot
+        # occupancies 1.6%/0.2%/~0).  Under lEB facets evolve their own
+        # temperatures, so merging only groups sections of identical facet
+        # id there (i.e. no cross-facet merge).
+        norms0 = self.facnorm[fid0]
+        z0_0 = np.maximum(self.facz0[fid0], 1e-30)
+        z0h_0 = np.maximum(self.facz0h[fid0], 1e-30)
+        facT0 = np.asarray(self.facT)[fid0]
+        cols = [flat0,
+                np.round(norms0[:, 0], 6), np.round(norms0[:, 1], 6),
+                np.round(norms0[:, 2], 6), np.round(dist0, 9),
+                np.round(np.log(z0_0), 9), np.round(np.log(z0h_0), 9),
+                np.round(facT0, 6)]
+        if self.cfg.eb.lEB:
+            cols.append(fid0)    # per-facet surf state: no cross-facet merge
+        if which == "c" and self.cfg.physics.lmoist:
+            cols.append(self.faclGR_dev[fid0].astype(np.float64))
+        key = np.stack(cols, axis=1)
+        _, first, grp = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        M = len(first)
+        area = np.bincount(grp, weights=area0, minlength=M)
+        ijk = ijk0[first]
+        dist = dist0[first]
+        fid = fid0[first]
+        flat = flat0[first]
+
         order = np.argsort(flat, kind="stable")
         sf = flat[order]
         starts = np.r_[0, np.flatnonzero(np.diff(sf)) + 1]
@@ -379,7 +414,8 @@ class IBM:
             d["dist"] = densify(dist, 1.0)
             d["logdz"] = densify(logdz, 2.0)
             d["logzh"] = densify(np.log(z0 / z0h), 0.0)
-            d["sqdz"] = densify(np.sqrt(np.maximum(dist, 0.0) / z0), 1.0)
+            # sqdz = sqrt(dist/z0) is derived as exp(logdz/2) at run time —
+            # one VPU transcendental instead of a K*n^3 HBM param read
             d["tsurf_static"] = densify(np.asarray(self.facT)[fid], 288.0)
         elif which != "c":
             d["ctm_neutral"] = densify((const.fkar / logdz) ** 2, 0.0)
@@ -398,12 +434,14 @@ class IBM:
                 d["lGR"] = densify(self.faclGR_dev[fid].astype(np.float64),
                                    0.0)
         if which == "c" or cfg.walls.lwritefac:
-            # per-section flat indices into the (K,)+shape slot stacks — used
-            # for the per-facet EB flux sums and the lwritefac facet-stress
-            # output (one gather + one segment_sum, gated to substep 3)
-            d["_hsec_idx"] = jnp.asarray(slot * N + flat, jnp.int32)
-            d["_hsec_fac"] = jnp.asarray(fid, jnp.int32)
-            d["_hsec_area"] = jnp.asarray(area, g.dtype)
+            # per-SECTION flat indices into the (K,)+shape slot stacks (the
+            # unmerged list, each pointing at its merged slot with its own
+            # area weight, so per-facet sums stay exact) — used for the
+            # per-facet EB flux sums and the lwritefac facet-stress output
+            # (one gather + one segment_sum, gated to substep 3)
+            d["_hsec_idx"] = jnp.asarray(slot[grp] * N + flat0, jnp.int32)
+            d["_hsec_fac"] = jnp.asarray(fid0, jnp.int32)
+            d["_hsec_area"] = jnp.asarray(area0, g.dtype)
         return d
 
     def rebuild_dense_surf(self, T1, qsat=None, hurel=None, f=None,
@@ -671,8 +709,9 @@ class IBM:
         (tx, ty, tz), utan, ok = self._dense_tangent(dn, uu, vv, ww)
         if cfg.walls.iwallmom == 2:
             ctm = _mom_coef_stability_pre(
-                utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
-                Ta, surf[which], cfg.walls.prandtlturb)
+                utan, dn["dist"], dn["logdz"], dn["logzh"],
+                jnp.exp(0.5 * dn["logdz"]), Ta, surf[which],
+                cfg.walls.prandtlturb)
         else:
             ctm = dn["ctm_neutral"]
         stress = ctm * utan * utan
@@ -732,8 +771,9 @@ class IBM:
                 cth = jnp.zeros_like(utan)
             else:
                 cth, flux, htc = _heat_coef_flux_pre(
-                    utan, dn["dist"], dn["logdz"], dn["logzh"], dn["sqdz"],
-                    Ta, surf["c"], cfg.walls.prandtlturb)
+                    utan, dn["dist"], dn["logdz"], dn["logzh"],
+                    jnp.exp(0.5 * dn["logdz"]), Ta, surf["c"],
+                    cfg.walls.prandtlturb)
             fl = jnp.where(valid, flux, 0.0)
             dthl = -jnp.sum(fl * dn["awgt"], axis=0).astype(dtype)
             hf_tot = jnp.sum(fl * areaK).astype(dtype)
