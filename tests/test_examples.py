@@ -196,6 +196,59 @@ def test_example_201_eb_state():
     assert 200.0 < T.min() < T.max() < 400.0
 
 
+def test_example_002_drag_physics():
+    """Physics trend for the cube-array case (no forcing, neutral): the
+    canopy drag decays the resolved KE monotonically over steps, and the
+    velocity deficit develops INSIDE the canopy (cubes reach z=16 of 64:
+    geom.002.STL) relative to the flow aloft."""
+    from udales_tpu.ops.thermo import slab_mean
+    model, s0 = _run_steps("002", n=1)
+    ke = lambda s: float(np.sum(np.asarray(s.c.u) ** 2
+                                + np.asarray(s.c.v) ** 2))
+    step = jax.jit(model.step)
+    kes = [ke(s0)]
+    state = s0
+    for _ in range(8):
+        state = step(state)
+        kes.append(ke(state))
+    assert all(b < a for a, b in zip(kes, kes[1:])), kes
+    # canopy-top index: zmax=16 on the 64-cell/64 m grid -> k<16 inside
+    II = model.ibm.masks.c
+    u = np.asarray(state.c.u)
+    inside = np.nanmean(np.where(np.asarray(II[:, :, :16]) > 0,
+                                 u[:, :, :16], np.nan))
+    above = u[:, :, 24:40].mean()
+    assert inside < 0.8 * above, (inside, above)
+
+
+def test_example_201_radiative_heating():
+    """Physics trend for the EB case: the committed netsw.inp.201 drives
+    sunlit facets above their 295 K radiative-equilibrium start once the
+    facet energy balance fires (dtEB=2 s), and the facet-flux accumulators
+    move (modEB.f90:429 cadence)."""
+    from udales_tpu.run import load_case
+    model = load_case(EXAMPLES / "201")
+    state = model.cold_start()
+    T0 = np.asarray(state.fac.T).copy()
+    step = jax.jit(model.step)
+    for _ in range(200):           # step past the dtEB cadence
+        state = step(state)
+        if float(state.timee) > model.cfg.eb.dtEB * 1.05:
+            break
+    T1 = np.asarray(state.fac.T)
+    assert not np.allclose(T1, T0), "EB never fired within the run"
+    nsw = np.loadtxt(EXAMPLES / "201" / "netsw.inp.201", skiprows=1)
+    sunlit = nsw > 100.0
+    assert sunlit.sum() > 10
+    dT = T1[:, 0] - T0[:, 0]
+    # strongly-irradiated facets warm on average; the sign is the oracle
+    assert dT[sunlit].mean() > 0.0, dT[sunlit].mean()
+    # and the most-irradiated quartile warms at least as much as the least
+    # (201's committed netsw leaves no unlit facets, so split by quartile)
+    q1, q3 = np.quantile(nsw, [0.25, 0.75])
+    assert dT[nsw >= q3].mean() >= dT[nsw <= q1].mean() - 5e-3
+
+
 def test_example_024_config_parses():
     """The 1024^3 production case: namoptions + stretched-z profile parse
     and the grid builds (no state allocation — it would not fit one

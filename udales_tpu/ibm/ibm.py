@@ -24,6 +24,7 @@ sections instead, matching the reference switch.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Optional
@@ -383,6 +384,62 @@ class IBM:
         slot[order] = within
         K = int(counts.max())
 
+        # --- K cap: route deep slots to a sparse tail --------------------
+        # Real-city STL geometry can put 20+ distinct planes in one cell
+        # (examples/950: K=19..22 -> 8.6 GB of stacks, OOM on one chip).
+        # Slots >= KCAP become per-section vectors processed with ONE
+        # gather (from the stacked interpolated fields the dense path
+        # computes anyway) + ONE scatter-add per component per substep;
+        # at the measured gather cost (0.47 ms + 6.7 ns/elem) this beats
+        # slot K's dense read for every occupancy the deep slots have.
+        KCAP = int(os.environ.get("UDALES_IBM_KCAP", "6"))
+        tail_m = slot >= KCAP                     # over merged entries
+        tail = None
+        if tail_m.any():
+            tm = tail_m
+            kcell_t = (ijk[tm, 2] if which != "w"
+                       else np.minimum(ijk[tm, 2], nz - 1))
+            dzf_t = np.asarray(g.j("dzf"))[kcell_t]
+            vol_t = g.dx * g.dy * dzf_t
+            norms_t = self.facnorm[fid[tm]]
+            z0_t = np.maximum(self.facz0[fid[tm]], 1e-30)
+            z0h_t = np.maximum(self.facz0h[fid[tm]], 1e-30)
+            logdz_t = np.log(np.maximum(dist[tm], 1e-30) / z0_t)
+            j32 = lambda a: jnp.asarray(a, jnp.int32)
+            jf = lambda a: jnp.asarray(a, g.dtype)
+            tail = dict(
+                idx=j32(flat[tm]), fac=j32(fid[tm]),
+                n0=jf(norms_t[:, 0]), n1=jf(norms_t[:, 1]),
+                n2=jf(norms_t[:, 2]),
+                area=jf(area[tm]), dist=jf(dist[tm]), logdz=jf(logdz_t),
+                logzh=jf(np.log(z0_t / z0h_t)),
+                ctm_neutral=jf((const.fkar / logdz_t) ** 2),
+                tsurf=jf(np.asarray(self.facT)[fid[tm]]),
+            )
+            if which != "c":
+                tail["avol"] = jf(area[tm] / vol_t)
+            else:
+                dzh_t = np.asarray(g.j("dzh"))[ijk[tm, 2]]
+                tail["awgt"] = jf(area[tm] / (g.dx * g.dy * dzh_t))
+                tail["areaK"] = jf(area[tm])
+                if self.cfg.physics.lmoist:
+                    tail["lGR"] = jf(
+                        self.faclGR_dev[fid[tm]].astype(np.float64))
+            # shrink the dense part to the kept slots
+            keep_m = ~tail_m
+            keep_sections = keep_m[grp]           # over original sections
+            grp_keep = np.cumsum(keep_m) - 1      # merged -> kept position
+            ijk, area, dist, fid, flat = (ijk[keep_m], area[keep_m],
+                                          dist[keep_m], fid[keep_m],
+                                          flat[keep_m])
+            slot = slot[keep_m]
+            grp = grp_keep[grp]                   # sections -> kept entries
+            # (tail sections keep grp pointing at a kept slot only via
+            # keep_sections gating below)
+            K = min(K, KCAP)
+        else:
+            keep_sections = np.ones(len(grp), bool)
+
         def densify(vals, pad):
             a = np.full((K, N), pad, np.float64)
             a[slot, flat] = vals
@@ -438,10 +495,16 @@ class IBM:
             # unmerged list, each pointing at its merged slot with its own
             # area weight, so per-facet sums stay exact) — used for the
             # per-facet EB flux sums and the lwritefac facet-stress output
-            # (one gather + one segment_sum, gated to substep 3)
-            d["_hsec_idx"] = jnp.asarray(slot[grp] * N + flat0, jnp.int32)
-            d["_hsec_fac"] = jnp.asarray(fid0, jnp.int32)
-            d["_hsec_area"] = jnp.asarray(area0, g.dtype)
+            # (one gather + one segment_sum, gated to substep 3).  Tail
+            # sections are excluded here; their per-facet sums come from
+            # the tail vectors directly (segment_sum over tail["fac"]).
+            ks = keep_sections
+            d["_hsec_idx"] = jnp.asarray(slot[grp[ks]] * N + flat0[ks],
+                                         jnp.int32)
+            d["_hsec_fac"] = jnp.asarray(fid0[ks], jnp.int32)
+            d["_hsec_area"] = jnp.asarray(area0[ks], g.dtype)
+        if tail is not None:
+            d["_tail"] = tail
         return d
 
     def rebuild_dense_surf(self, T1, qsat=None, hurel=None, f=None,
@@ -454,6 +517,9 @@ class IBM:
         for which, dn in dense.items():
             if dn is not None and "facid" in dn:
                 out[which] = T1[dn["facid"]].astype(T1.dtype)
+            if dn is not None and "_tail" in dn:
+                out["_tail_" + which] = T1[dn["_tail"]["fac"]].astype(
+                    T1.dtype)
         dnc = dense.get("c")
         if dnc is not None and "facid" in dnc and qsat is not None:
             fid = dnc["facid"]
@@ -721,9 +787,58 @@ class IBM:
         # padding slots carry avol=0, so `ok` alone masks the rest
         contrib = jnp.where(ok, -stress_dir * dn["avol"], 0.0)
         out = jnp.sum(contrib, axis=0).astype(dtype)
+        if "_tail" in dn:
+            t = dn["_tail"]
+            tvals = self._tail_fields(t, uu, vv, ww, Ta)
+            sdir_t, ok_t = self._tail_stress(
+                which, t, tvals, cfg, surf.get("_tail_" + which))
+            add = jnp.where(ok_t, -sdir_t * t["avol"], 0.0).astype(dtype)
+            out = out.reshape(-1).at[t["idx"]].add(add).reshape(shape)
         if ret_slots:
             return out, jnp.where(ok, stress_dir, 0.0)
         return out
+
+    @staticmethod
+    def _tail_fields(t, uu, vv, ww, Ta):
+        """One gather for all four interpolated fields at the tail cells."""
+        S = jnp.stack([uu.reshape(-1), vv.reshape(-1), ww.reshape(-1),
+                       Ta.reshape(-1)])
+        return S[:, t["idx"]]
+
+    @staticmethod
+    def _tail_tangent(t, tvals):
+        """Streamwise unit vector + tangential speed for the tail vectors
+        (1-D form of `_dense_tangent`)."""
+        uu, vv, ww, _ = tvals
+        sx = t["n1"] * ww - t["n2"] * vv
+        sy = t["n2"] * uu - t["n0"] * ww
+        sz = t["n0"] * vv - t["n1"] * uu
+        sn = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        ok = sn > const.eps1
+        sni = 1.0 / jnp.maximum(sn, const.eps1)
+        sx, sy, sz = sx * sni, sy * sni, sz * sni
+        txv = sy * t["n2"] - sz * t["n1"]
+        tyv = sz * t["n0"] - sx * t["n2"]
+        tzv = sx * t["n1"] - sy * t["n0"]
+        utan = txv * uu + tyv * vv + tzv * ww
+        return (txv, tyv, tzv), utan, ok
+
+    def _tail_stress(self, which, t, tvals, cfg, tsurf_live=None):
+        """Per-tail-section signed stress (the vector form of the dense
+        slot math; same formulas)."""
+        uu, vv, ww, Ta = tvals
+        (txv, tyv, tzv), utan, ok = self._tail_tangent(t, tvals)
+        if cfg.walls.iwallmom == 2:
+            Ts = tsurf_live if tsurf_live is not None else t["tsurf"]
+            ctm = _mom_coef_stability_pre(
+                utan, t["dist"], t["logdz"], t["logzh"],
+                jnp.exp(0.5 * t["logdz"]), Ta, Ts, cfg.walls.prandtlturb)
+        else:
+            ctm = t["ctm_neutral"]
+        stress = ctm * utan * utan
+        a = {"u": txv, "v": tyv, "w": tzv}[which]
+        ua = {"u": uu, "v": vv, "w": ww}[which]
+        return jnp.sign(ua) * jnp.abs(a * stress), ok
 
     def _wallfunheat_dense(self, g, c, cfg: Config, surf, dense, fac, bctf,
                            need_fac, ret_slots: bool = False):
@@ -809,6 +924,69 @@ class IBM:
             dqt = -jnp.sum(mfl * dn["awgt"], axis=0).astype(dtype)
             ef_tot = jnp.sum(mfl * areaK).astype(dtype)
 
+        # sparse tail sections (K-cap overflow of real-city geometry)
+        fl_t = mfl_t = None
+        t = dn.get("_tail")
+        if t is not None:
+            tvals = self._tail_fields(t, uu, vv, ww, Ta)
+            uu_t, vv_t, ww_t, Ta_t = tvals
+            _, utan_t, ok_t = self._tail_tangent(t, tvals)
+            htc_t = jnp.zeros_like(utan_t)
+            if cfg.physics.ltempeq:
+                if cfg.walls.iwalltemp == 1:
+                    e = const.eps1
+                    flux_t = jnp.where(jnp.abs(t["n0"] - 1) < e, bxp,
+                              jnp.where(jnp.abs(t["n0"] + 1) < e, bxm,
+                              jnp.where(jnp.abs(t["n1"] - 1) < e, byp,
+                              jnp.where(jnp.abs(t["n1"] + 1) < e, bxm,
+                              jnp.where(jnp.abs(t["n2"] - 1) < e, bz,
+                                        0.0))))) * jnp.ones_like(utan_t)
+                else:
+                    Ts = surf.get("_tail_c")
+                    Ts = Ts if Ts is not None else t["tsurf"]
+                    _, flux_t, htc_t = _heat_coef_flux_pre(
+                        utan_t, t["dist"], t["logdz"], t["logzh"],
+                        jnp.exp(0.5 * t["logdz"]), Ta_t, Ts,
+                        cfg.walls.prandtlturb)
+                fl_t = jnp.where(ok_t, flux_t, 0.0)
+                dthl = dthl.reshape(-1).at[t["idx"]].add(
+                    (-fl_t * t["awgt"]).astype(dtype)).reshape(
+                    (nx, ny, nz))
+                hf_tot = hf_tot + jnp.sum(fl_t * t["areaK"]).astype(dtype)
+            if (cfg.physics.lmoist and cfg.walls.iwallmoist == 1
+                    and "lGR" in t):
+                b = cfg.bc
+                e = const.eps1
+                mflux_t = jnp.where(jnp.abs(t["n0"] - 1) < e, b.bcqfxp,
+                           jnp.where(jnp.abs(t["n0"] + 1) < e, b.bcqfxm,
+                           jnp.where(jnp.abs(t["n1"] - 1) < e, b.bcqfyp,
+                           jnp.where(jnp.abs(t["n1"] + 1) < e, b.bcqfym,
+                           jnp.where(jnp.abs(t["n2"] - 1) < e, b.bcqfz,
+                                     0.0)))))
+                mfl_t = jnp.where(ok_t & (t["lGR"] > 0.0),
+                                  mflux_t * jnp.ones_like(utan_t), 0.0)
+            elif (cfg.physics.lmoist and fac is not None
+                    and cfg.walls.iwallmoist == 2 and "lGR" in t):
+                qtair_t = g.qt[1:-1, 1:-1, 1:-1].reshape(-1)[t["idx"]]
+                qwall_t = fac.qsat[t["fac"]]
+                hurel_t = fac.hurel[t["fac"]]
+                resa_t = 1.0 / jnp.maximum(htc_t * jnp.abs(utan_t), 1e-10)
+                resc_t = fac.f[t["fac"], 3]
+                ress_t = fac.f[t["fac"], 4]
+                cveg = 0.8
+                mflux_t = jnp.minimum(
+                    0.0, cveg * (qtair_t - qwall_t) / (resa_t + resc_t)
+                    + (1.0 - cveg) * (qtair_t - qwall_t * hurel_t)
+                    / (resa_t + ress_t))
+                mfl_t = jnp.where(ok_t & (t["lGR"] > 0.0)
+                                  & (htc_t * jnp.abs(utan_t) > 0.0),
+                                  mflux_t, 0.0)
+            if mfl_t is not None:
+                dqt = dqt.reshape(-1).at[t["idx"]].add(
+                    (-mfl_t * t["awgt"]).astype(dtype)).reshape(
+                    (nx, ny, nz))
+                ef_tot = ef_tot + jnp.sum(mfl_t * t["areaK"]).astype(dtype)
+
         if need_fac:
             # per-facet sums for the EB: one gather + one segment_sum,
             # amortized (only fires on the accumulation substep)
@@ -817,9 +995,15 @@ class IBM:
             if fl is not None:
                 vals.append(fl.ravel()[dn["_hsec_idx"]] * dn["_hsec_area"])
                 segs.append(dn["_hsec_fac"])
+            if fl_t is not None:
+                vals.append(fl_t * t["areaK"])
+                segs.append(t["fac"])
             if mfl is not None:
                 vals.append(mfl.ravel()[dn["_hsec_idx"]] * dn["_hsec_area"])
                 segs.append(dn["_hsec_fac"] + self.nfcts)
+            if mfl_t is not None:
+                vals.append(mfl_t * t["areaK"])
+                segs.append(t["fac"] + self.nfcts)
             if vals:
                 tot = jax.ops.segment_sum(
                     jnp.concatenate(vals), jnp.concatenate(segs),

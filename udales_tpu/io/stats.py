@@ -74,7 +74,28 @@ def compute_diag(state, grid, cfg, model=None):
         from ..run import _velocity_ghosts
         th = thermodynamics(c, cfg, grid,
                             model.ibm.masks if model.ibm else None)
-        g = _velocity_ghosts(c, cfg, grid)
+        # open-boundary cases need the inlet plane context to build ghosts
+        # (driver/profile inlets; streaming replay uses the State window)
+        openx = openy = None
+        if model.inlet is not None:
+            from ..ops.openbc import (BC_RECYCLE, driver_window_planes,
+                                      recycle_planes)
+            ny, nz_ = grid.jtot, grid.ktot
+            if getattr(state, "drv", None) is not None:
+                planes = driver_window_planes(state.drv, state.timee)
+            elif model.igparams is not None and state.ig is not None:
+                from ..ops.inletgen import inletgen_planes
+                planes = inletgen_planes(state.ig, model.inlet, ny, nz_)
+            elif model.inlet.mode == BC_RECYCLE:
+                planes = recycle_planes(model.inlet, c, ny, nz_)
+            else:
+                planes = model.inlet.planes(state.timee, ny, nz_)
+            openx = {"inlet": planes, "bx": c.bx}
+        if model.inlet_y is not None:
+            planes_y = model.inlet_y.planes(state.timee, grid.itot,
+                                            grid.ktot)
+            openy = {"inlet": planes_y, "by": c.by}
+        g = _velocity_ghosts(c, cfg, grid, openx, openy)
         thvs = cfg.bc.thls if cfg.bc.thls > 0 else 288.0
         ekm, ekh, _ = sgs.closure(g, grid, cfg, e12=c.e12,
                                   dthvdz=th.dthvdz, thl=c.thl, thvs=thvs)
