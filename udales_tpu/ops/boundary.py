@@ -55,6 +55,32 @@ def _assemble_y(gk, h, lo_plane, hi_plane):
                             *([hi[:, None]] * h)], axis=1)
 
 
+def _assemble_xy(gk, h, xlo, xhi, ylo, yhi):
+    """Both directions open: attach the x ghost planes first, then the y
+    planes (edge-extended across the new x ghosts) fill the y ghosts
+    including the corners — the reference's ordering (modboundary.f90:
+    96-103 applies the x BC before the y BC, and the y loops run over the
+    full x extent including ghosts)."""
+    gx = jnp.concatenate([*([xlo[None]] * h), gk, *([xhi[None]] * h)],
+                         axis=0)
+    ylo_e = jnp.pad(ylo, ((h, h), (0, 0)), mode="edge")
+    yhi_e = jnp.pad(yhi, ((h, h), (0, 0)), mode="edge")
+    return jnp.concatenate([*([ylo_e[:, None]] * h), gx,
+                            *([yhi_e[:, None]] * h)], axis=1)
+
+
+def _dispatch(gk, h, cfg, xlo=None, xhi=None, ylo=None, yhi=None):
+    """Assemble ghosts from whichever open-boundary planes exist; periodic
+    wrap in any direction without planes."""
+    if xlo is not None and ylo is not None:
+        return _assemble_xy(gk, h, xlo, xhi, ylo, yhi)
+    if xlo is not None:
+        return _assemble(gk, h, xlo, xhi)
+    if ylo is not None:
+        return _assemble_y(gk, h, ylo, yhi)
+    return pad_periodic_xy(gk, h)
+
+
 def _pad_field(gk, h, cfg, lo_plane=None, hi_plane=None):
     if not (_open_x(cfg) or _open_y(cfg)):
         return pad_periodic_xy(gk, h)
@@ -94,39 +120,37 @@ def ghost_u(u, cfg: Config, h: int = 1, openx=None, openy=None):
     modboundary.f90:699; driver ghost = driver plane :732; outlet face from
     the prognostic XPlanes). Open-y: ymi_profile (:1017-1045)."""
     gk = _kg_u(u, cfg)
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        if cfg.bc.BCxm == BC_PROFILE:
+            xlo = 2.0 * gk[0] - gk[1]
+        else:  # driver: ghost = inlet plane (== u[0], which is hard-set)
+            xlo = gk[0]
+        xhi = _kg_u(openx["bx"].u, cfg)
     if openy is not None:
         uprof_k = _kg_u(jnp.broadcast_to(openy["inlet"]["u"],
                                          (u.shape[0], u.shape[2])), cfg)
-        lo = 2.0 * uprof_k - gk[:, 0]
-        hi = _kg_u(openy["by"].u, cfg)
-        return _assemble_y(gk, h, lo, hi)
-    if openx is None:
-        return _pad_field(gk, h, cfg)
-    if cfg.bc.BCxm == BC_PROFILE:
-        lo = 2.0 * gk[0] - gk[1]
-    else:  # driver: ghost = inlet plane (== u[0], which is hard-set)
-        lo = gk[0]
-    hi = _kg_u(openx["bx"].u, cfg)
-    return _assemble(gk, h, lo, hi)
+        ylo = 2.0 * uprof_k - gk[:, 0]
+        yhi = _kg_u(openy["by"].u, cfg)
+    return _dispatch(gk, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def ghost_v(v, cfg: Config, h: int = 1, openx=None, openy=None):
     gk = _kg_v(v, cfg)
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        if cfg.bc.BCxm == BC_PROFILE:
+            vprof_k = _kg_v(jnp.broadcast_to(
+                openx["inlet"]["v"], v.shape[1:]), cfg)
+            xlo = 2.0 * vprof_k - gk[0]
+        else:
+            xlo = _kg_v(openx["inlet"]["v"], cfg)
+        xhi = _kg_v(openx["bx"].v, cfg)
     if openy is not None:
         # ymi_profile: v(jb)=vprof pinned in the update; ghost extrapolates
-        lo = 2.0 * gk[:, 0] - gk[:, 1]
-        hi = _kg_v(openy["by"].v, cfg)
-        return _assemble_y(gk, h, lo, hi)
-    if openx is None:
-        return _pad_field(gk, h, cfg)
-    if cfg.bc.BCxm == BC_PROFILE:
-        vprof_k = _kg_v(jnp.broadcast_to(
-            openx["inlet"]["v"], v.shape[1:]), cfg)
-        lo = 2.0 * vprof_k - gk[0]
-    else:
-        lo = _kg_v(openx["inlet"]["v"], cfg)
-    hi = _kg_v(openx["bx"].v, cfg)
-    return _assemble(gk, h, lo, hi)
+        ylo = 2.0 * gk[:, 0] - gk[:, 1]
+        yhi = _kg_v(openy["by"].v, cfg)
+    return _dispatch(gk, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def ghost_w(w, cfg: Config, h: int = 1, openx=None, openy=None):
@@ -136,15 +160,17 @@ def ghost_w(w, cfg: Config, h: int = 1, openx=None, openy=None):
     w = w.at[..., 0].set(0.0)
     if cfg.bc.BCtopm != BCTOPM_PRESSURE:
         w = w.at[..., -1].set(0.0)
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        if cfg.bc.BCxm == BC_PROFILE:
+            xlo = -w[0]           # modboundary.f90:703
+        else:
+            xlo = openx["inlet"]["w"]
+        xhi = openx["bx"].w
     if openy is not None:
-        return _assemble_y(w, h, -w[:, 0], openy["by"].w)
-    if openx is None:
-        return _pad_field(w, h, cfg)
-    if cfg.bc.BCxm == BC_PROFILE:
-        lo = -w[0]           # modboundary.f90:703
-    else:
-        lo = openx["inlet"]["w"]
-    return _assemble(w, h, lo, openx["bx"].w)
+        ylo = -w[:, 0]
+        yhi = openy["by"].w
+    return _dispatch(w, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def _scalar_top_ghost(f, ekh, grid: Grid, flux: float, value: float, mode: int):
@@ -164,21 +190,21 @@ def ghost_thl(thl, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
     top = _scalar_top_ghost(thl, ekh, grid, cfg.bc.wttop, cfg.bc.thl_top,
                             cfg.bc.BCtopT)
     gk = _kg_scalar(thl, top)
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        # profile inlet: ghost = thlprof (modboundary.f90:778-783);
+        # driver: plane
+        inl = openx["inlet"]["thl"]
+        xlo = _kg_scalar(inl, inl[..., -1:])
+        xhi = _kg_scalar(openx["bx"].thl, openx["bx"].thl[..., -1:])
     if openy is not None:
         # yTi_profile (modboundary.f90:1048-1062): ghost = 2 prof - thl(jb)
         prof_k = _kg_scalar(jnp.broadcast_to(openy["inlet"]["thl"],
                                              (thl.shape[0], thl.shape[2])),
                             openy["inlet"]["thl"][..., -1:])
-        lo = 2.0 * prof_k - gk[:, 0]
-        hi = _kg_scalar(openy["by"].thl, openy["by"].thl[..., -1:])
-        return _assemble_y(gk, h, lo, hi)
-    if openx is None:
-        return _pad_field(gk, h, cfg)
-    # profile inlet: ghost = thlprof (modboundary.f90:778-783); driver: plane
-    inl = openx["inlet"]["thl"]
-    lo = _kg_scalar(inl, inl[..., -1:])
-    hi = _kg_scalar(openx["bx"].thl, openx["bx"].thl[..., -1:])
-    return _assemble(gk, h, lo, hi)
+        ylo = 2.0 * prof_k - gk[:, 0]
+        yhi = _kg_scalar(openy["by"].thl, openy["by"].thl[..., -1:])
+    return _dispatch(gk, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
@@ -186,25 +212,24 @@ def ghost_qt(qt, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
     top = _scalar_top_ghost(qt, ekh, grid, cfg.bc.wqtop, cfg.bc.qt_top,
                             cfg.bc.BCtopq)
     gk = _kg_scalar(qt, top)
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        if cfg.bc.BCxq == BC_PROFILE:
+            prof_k = _kg_scalar(jnp.broadcast_to(openx["inlet"]["qt"],
+                                                 qt.shape[1:]),
+                                openx["inlet"]["qt"][..., -1:])
+            xlo = 2.0 * prof_k - gk[0]
+        else:
+            inl = openx["inlet"]["qt"]
+            xlo = _kg_scalar(inl, inl[..., -1:])
+        xhi = _kg_scalar(openx["bx"].qt, openx["bx"].qt[..., -1:])
     if openy is not None:
         prof_k = _kg_scalar(jnp.broadcast_to(openy["inlet"]["qt"],
                                              (qt.shape[0], qt.shape[2])),
                             openy["inlet"]["qt"][..., -1:])
-        lo = 2.0 * prof_k - gk[:, 0]
-        hi = _kg_scalar(openy["by"].qt, openy["by"].qt[..., -1:])
-        return _assemble_y(gk, h, lo, hi)
-    if openx is None:
-        return _pad_field(gk, h, cfg)
-    if cfg.bc.BCxq == BC_PROFILE:
-        prof_k = _kg_scalar(jnp.broadcast_to(openx["inlet"]["qt"],
-                                             qt.shape[1:]),
-                            openx["inlet"]["qt"][..., -1:])
-        lo = 2.0 * prof_k - gk[0]
-    else:
-        inl = openx["inlet"]["qt"]
-        lo = _kg_scalar(inl, inl[..., -1:])
-    hi = _kg_scalar(openx["bx"].qt, openx["bx"].qt[..., -1:])
-    return _assemble(gk, h, lo, hi)
+        ylo = 2.0 * prof_k - gk[:, 0]
+        yhi = _kg_scalar(openy["by"].qt, openy["by"].qt[..., -1:])
+    return _dispatch(gk, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def ghost_e12(e12, cfg: Config, h: int = 1, openx=None, openy=None):
@@ -213,14 +238,14 @@ def ghost_e12(e12, cfg: Config, h: int = 1, openx=None, openy=None):
     else:
         top = take_k(e12, -1)
     gk = _kg_scalar(e12, top)
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        xlo = gk[0]   # driver: extrapolate from interior (modboundary:757)
+        xhi = _kg_scalar(openx["bx"].e12, openx["bx"].e12[..., -1:])
     if openy is not None:
-        hi = _kg_scalar(openy["by"].e12, openy["by"].e12[..., -1:])
-        return _assemble_y(gk, h, gk[:, 0], hi)
-    if openx is None:
-        return _pad_field(gk, h, cfg)
-    lo = gk[0]       # driver: extrapolate from interior (modboundary:757)
-    hi = _kg_scalar(openx["bx"].e12, openx["bx"].e12[..., -1:])
-    return _assemble(gk, h, lo, hi)
+        ylo = gk[:, 0]
+        yhi = _kg_scalar(openy["by"].e12, openy["by"].e12[..., -1:])
+    return _dispatch(gk, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2, openx=None,
@@ -239,21 +264,20 @@ def ghost_scalar_kappa(c, cfg: Config, h: int = 2, hk: int = 2, openx=None,
         for _ in range(hk):
             q = pad_axis(q, q.ndim - 1, q[..., :1], q[..., -1:])
         return q
+    xlo = xhi = ylo = yhi = None
+    if openx is not None:
+        inl = openx["inlet"]["sv"][sv_index]
+        if cfg.bc.BCxs == BC_PROFILE:
+            xlo = 2.0 * kg2(inl) - kg2(c[0])
+        else:
+            xlo = kg2(inl)
+        xhi = kg2(openx["bx"].sv[sv_index])
     if openy is not None:
         # ysi_profile (modboundary.f90:1065-1097)
         inl = openy["inlet"]["sv"][sv_index]
-        lo = 2.0 * kg2(inl) - kg2(c[:, 0])
-        hi = kg2(openy["by"].sv[sv_index])
-        return _assemble_y(g, h, lo, hi)
-    if openx is None:
-        return _pad_field(g, h, cfg)
-    inl = openx["inlet"]["sv"][sv_index]
-    if cfg.bc.BCxs == BC_PROFILE:
-        lo = 2.0 * kg2(inl) - kg2(c[0])
-    else:
-        lo = kg2(inl)
-    hi = kg2(openx["bx"].sv[sv_index])
-    return _assemble(g, h, lo, hi)
+        ylo = 2.0 * kg2(inl) - kg2(c[:, 0])
+        yhi = kg2(openy["by"].sv[sv_index])
+    return _dispatch(g, h, cfg, xlo, xhi, ylo, yhi)
 
 
 def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
@@ -271,18 +295,14 @@ def ghost_ek(ekm, ekh, cfg: Config, grid: Grid, h: int = 1, openx=None,
         top_h = take_k(ekh, -1)
     gkm = pad_axis(ekm, 2, bot_m, top_m)
     gkh = pad_axis(ekh, 2, bot_h, top_h)
-    if openy is not None:
-        # zero-gradient at the y inflow/outflow (closurebc y branch)
-        gm = _assemble_y(gkm, h, gkm[:, 0], gkm[:, -1])
-        gh = _assemble_y(gkh, h, gkh[:, 0], gkh[:, -1])
-    elif openx is None:
-        gm = _pad_field(gkm, h, cfg)
-        gh = _pad_field(gkh, h, cfg)
-    else:
-        # zero-gradient at inflow/outflow (modboundary.f90:467-475)
-        gm = _assemble(gkm, h, gkm[0], gkm[-1])
-        gh = _assemble(gkh, h, gkh[0], gkh[-1])
-    return gm, gh
+    # zero-gradient at any inflow/outflow (modboundary.f90:467-475)
+    def mk(gk):
+        xlo = gk[0] if openx is not None else None
+        xhi = gk[-1] if openx is not None else None
+        ylo = gk[:, 0] if openy is not None else None
+        yhi = gk[:, -1] if openy is not None else None
+        return _dispatch(gk, h, cfg, xlo, xhi, ylo, yhi)
+    return mk(gkm), mk(gkh)
 
 
 @jax.tree_util.register_dataclass

@@ -726,22 +726,21 @@ def _velocity_ghosts(f: Fields, cfg: Config, grid: Grid,
 
 def _kappa_ghost_scalar(cfield, cfg, openx=None, openy=None):
     from .ops.boundary import ghost_scalar_kappa
+    # thl rides through the sv slot of the open-boundary contexts
     if openx is not None:
-        # thl uses the thl inlet plane through the sv slot of the context
         openx = {**openx,
                  "inlet": {**openx["inlet"],
                            "sv": openx["inlet"]["thl"][None]},
                  "bx": dataclasses.replace(openx["bx"],
                                            sv=openx["bx"].thl[None])}
-        return ghost_scalar_kappa(cfield, cfg, openx=openx, sv_index=0)
     if openy is not None:
         openy = {**openy,
                  "inlet": {**openy["inlet"],
                            "sv": openy["inlet"]["thl"][None]},
                  "by": dataclasses.replace(openy["by"],
                                            sv=openy["by"].thl[None])}
-        return ghost_scalar_kappa(cfield, cfg, openy=openy, sv_index=0)
-    return ghost_scalar_kappa(cfield, cfg)
+    return ghost_scalar_kappa(cfield, cfg, openx=openx, openy=openy,
+                              sv_index=0)
 
 
 def _pad_pres(p, openx, openy=None):
@@ -749,11 +748,12 @@ def _pad_pres(p, openx, openy=None):
     zero-gradient at open boundaries."""
     if openx is None and openy is None:
         return pad_periodic_xy(p, 1)
-    if openx is not None:
-        px = jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="edge")
-        return jnp.pad(px, ((0, 0), (1, 1), (0, 0)), mode="wrap")
-    py = jnp.pad(p, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    return jnp.pad(py, ((1, 1), (0, 0), (0, 0)), mode="wrap")
+    px = (jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="edge")
+          if openx is not None
+          else jnp.pad(p, ((1, 1), (0, 0), (0, 0)), mode="wrap"))
+    return (jnp.pad(px, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            if openy is not None
+            else jnp.pad(px, ((0, 0), (1, 1), (0, 0)), mode="wrap"))
 
 
 # ---------------------------------------------------------------------------
@@ -769,10 +769,6 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
         nam = sorted(case_dir.glob("namoptions.*"))[0]
         expnr = nam.suffix[1:]
     cfg = load_namoptions(case_dir / f"namoptions.{expnr}", dtype=dtype)
-    if cfg.bc.BCym != BC_PERIODIC and cfg.bc.BCxm != BC_PERIODIC:
-        raise NotImplementedError(
-            "simultaneously open x AND y boundaries are not supported "
-            "(the reference's configurations open at most one direction)")
     dom = cfg.domain
     np_dt = np.float32 if dtype == "float32" else np.float64
     grid = Grid.from_prof_inp(case_dir / f"prof.inp.{expnr}", dom.itot,
@@ -816,9 +812,9 @@ def load_case(case_dir: str | Path, expnr: str | None = None,
                     svprof=sv)
         if cfg.bc.BCxm == BC_PROFILE:
             model.inlet = inl
-        else:
+        if cfg.bc.BCym == BC_PROFILE:
             model.inlet_y = inl
-    elif cfg.bc.BCxm == BC_DRIVER:
+    if cfg.bc.BCxm == BC_DRIVER:
         from .ops.openbc import BC_DRIVER as _BCD, Inlet, load_driver_inlet
         djob = cfg.driver.driverjobnr
         dpath = case_dir / f"driverdata.{djob:03d}.h5"
