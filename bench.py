@@ -1,6 +1,9 @@
-"""Benchmark harness: grid-points/s/chip for a full RK3 step incl. Poisson.
+"""Benchmark harness: grid-points/s/chip for full RK3 steps incl. Poisson.
 
-Prints ONE JSON line {"metric":..., "value":..., "unit":..., "vs_baseline":...}.
+Prints ONE JSON line {"metric":..., "value":..., "unit":..., "vs_baseline":...}
+whose `value` is the URBAN case (IBM building array + wall functions +
+heated facets — the framework's reason to exist); the flat 128^3 and 256^3
+numbers ride along as `flat_128` / `flat_256` keys.
 
 Baseline note (BASELINE.md): the Fortran/MPI reference publishes no numbers
 and cannot be built in this environment (no gfortran/MPI), so `vs_baseline`
@@ -15,6 +18,7 @@ BASELINE.md.
 import json
 import os
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -22,49 +26,124 @@ import numpy as np
 # BASELINE.md).  vs_baseline is therefore "vs-estimate".
 FORTRAN_BASELINE_PTS_PER_S = 2.0e6
 
+CACHE = Path(__file__).parent / ".bench_cache"
 
-def measure(n=128, nsteps=20):
+
+def _time_run(model, state, nsteps):
+    """Best-of-3 of a lax.scan over nsteps (timing python-level step calls
+    would measure dispatch RTT, not compute — docs/performance.md)."""
     import jax
-    from __graft_entry__ import _build, _init_state
-
-    model = _build(n, n, n)
-    state = _init_state(model)
-
-    # a production run is `lax.scan` over steps (Model.run), fully on device;
-    # timing python-level step calls would measure dispatch RTT, not compute
     run = jax.jit(lambda s: model.run(s, nsteps))
-
-    # compile + warmup
-    state = jax.block_until_ready(run(state))
-
-    dt_wall = float("inf")
+    state = jax.block_until_ready(run(state))   # compile + warmup
+    best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         state = jax.block_until_ready(run(state))
-        dt_wall = min(dt_wall, time.perf_counter() - t0)
-    return n * n * n * nsteps / dt_wall
+        best = min(best, time.perf_counter() - t0)
+    n = model.grid.itot * model.grid.jtot * model.grid.ktot
+    return n * nsteps / best
+
+
+def measure_flat(n, nsteps):
+    from __graft_entry__ import _build, _init_state
+    model = _build(n, n, n)
+    return _time_run(model, _init_state(model), nsteps)
+
+
+def _stage_urban(n):
+    """Prep-generate (once, cached) an n^3 urban case: 4x4 aligned building
+    array, lambda_p = 0.25, H = n/4 m, heated facets (iwalltemp=2)."""
+    case = CACHE / f"urban{n}"
+    nam = case / "namoptions.900"
+    if not nam.exists():
+        from udales_tpu.prep.prep import (PrepConfig, make_box_array_stl,
+                                          prepare_case)
+        case.mkdir(parents=True, exist_ok=True)
+        make_box_array_stl(case / "geom.stl", 4, 4, 0.5, n / 4.0,
+                           float(n), float(n))
+        counts = prepare_case(case / "geom.stl", case, PrepConfig(
+            itot=n, jtot=n, ktot=n, xlen=float(n), ylen=float(n),
+            zsize=float(n), expnr="900", u0=1.5, thl0=290.0, facT0=295.0))
+        walls = "\n".join(
+            [f"nfcts = {counts['nfcts']}"]
+            + [f"nsolpts_{w} = {counts[f'nsolpts_{w}']}" for w in "uvwc"]
+            + [f"nbndpts_{w} = {counts[f'nbndpts_{w}']}" for w in "uvwc"]
+            + [f"nfctsecs_{w} = {counts[f'nfctsecs_{w}']}" for w in "uvwc"])
+        nam.write_text(f"""&RUN
+iexpnr = 900
+ladaptive = .true.
+dtmax = 0.5
+libm = .true.
+/
+&DOMAIN
+itot = {n}
+jtot = {n}
+ktot = {n}
+xlen = {n}.
+ylen = {n}.
+/
+&PHYSICS
+ltempeq = .true.
+lbuoyancy = .true.
+luvolflowr = .true.
+uflowrate = 1.5
+/
+&WALLS
+{walls}
+iwalltemp = 2
+/
+&BC
+thls = 295.
+thl_top = 285.
+BCtopT = 2
+z0 = 0.05
+z0h = 0.00035
+/
+&NAMSUBGRID
+lvreman = .true.
+/
+""")
+    return case
+
+
+def measure_urban(n=128, nsteps=10):
+    from udales_tpu.run import load_case
+    case = _stage_urban(n)
+    model = load_case(case, "900", dtype="float32")
+    state = model.cold_start(seed=43)
+    return _time_run(model, state, nsteps), model
 
 
 def main():
     if os.environ.get("UDALES_BENCH_CPU"):
         # measured host-CPU comparator (same solver, XLA CPU backend)
         os.environ["JAX_PLATFORMS"] = "cpu"
-        pts = measure(n=64, nsteps=10)
+        pts = measure_flat(n=64, nsteps=10)
         print(json.dumps({
             "metric": "rk3_step_grid_points_per_s_cpu_host",
             "value": round(pts, 1), "unit": "points/s",
             "baseline": "measured:this-solver-on-host-cpu-64^3",
         }))
         return
-    pts_per_s = measure()
-    print(json.dumps({
-        "metric": "rk3_step_grid_points_per_s_per_chip",
-        "value": round(pts_per_s, 1),
+    urban, model = measure_urban(128, 10)
+    out = {
+        "metric": "rk3_step_urban_ibm_grid_points_per_s_per_chip",
+        "value": round(urban, 1),
         "unit": "points/s",
-        "vs_baseline": round(pts_per_s / FORTRAN_BASELINE_PTS_PER_S, 2),
+        "vs_baseline": round(urban / FORTRAN_BASELINE_PTS_PER_S, 2),
+        "case": f"128^3, 4x4 building array lp=0.25, nfcts="
+                f"{model.cfg.walls.nfcts}, wall fns + heated facets",
         "baseline": "estimate:fortran-mpi-2.0e6-pts/s/core (BASELINE.md; "
                     "reference unbuildable here — no gfortran/MPI)",
-    }))
+    }
+    # flat comparators: best-effort (a slow remote compile must not cost
+    # the primary number)
+    for key, args in (("flat_128", (128, 20)), ("flat_256", (256, 10))):
+        try:
+            out[key] = round(measure_flat(*args), 1)
+        except Exception as e:            # noqa: BLE001
+            out[key] = f"failed: {type(e).__name__}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
