@@ -127,6 +127,18 @@ class TestIBMSharding:
         np.testing.assert_allclose(np.asarray(out.pres),
                                    np.asarray(ref.pres), atol=1e-9)
 
+    def test_ibm_tail_invariance(self, cube_case, monkeypatch):
+        """The K-cap sparse tail (gather + scatter wall functions for
+        deep-slot sections, ibm/ibm.py) under a mesh: forcing KCAP=1
+        routes every beyond-first-slot section through the tail."""
+        monkeypatch.setenv("UDALES_IBM_KCAP", "1")
+        def build():
+            m = _load(cube_case)
+            assert any(dn is not None and "_tail" in dn
+                       for dn in m.ibm.dense.values())
+            return m
+        _run_pair(build)
+
 
 class TestEBSharding:
     def test_facet_eb_invariance(self, tmp_path):
