@@ -79,6 +79,17 @@ def prep_config_from_namoptions(nam_path: str | Path):
         elif isolar == 3:
             updates["weather_file"] = str(
                 inps.get("weatherfname", "weather.txt"))
+    if bool(inps.get("lzstretch", False)):
+        updates["lzstretch"] = True
+        for flag, meth in (("lstretchexp", "exp"),
+                           ("lstretchexpcheck", "expcheck"),
+                           ("lstretchtanh", "tanh"),
+                           ("lstretch2tanh", "2tanh")):
+            if bool(inps.get(flag, False)):
+                updates["stretch_method"] = meth
+        for k in ("hlin", "dzlin", "stretchconst"):
+            if k in inps:
+                updates[k] = float(inps[k])
     if bool(inps.get("ltrees", False)) and inps.get("treesfile"):
         updates["trees_file"] = str((nam_path.parent
                                      / str(inps["treesfile"])))
