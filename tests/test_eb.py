@@ -104,3 +104,22 @@ class TestLoad201:
         # facets with SEB modelled move but stay physical
         mm = np.asarray(eb.model_mask)
         assert (np.abs(T2[mm] - np.asarray(fs.T)[mm]) < 30).all()
+
+
+def test_layer_initial_temperatures():
+    """lfacTlyrs: a (nfcts, nfaclyrs) Tfacinit initializes each layer
+    directly (initfac.f90:301-318) instead of the linear interior ramp."""
+    nfcts = 4
+    Tlyr = 290.0 + np.arange(nfcts * 3, dtype=float).reshape(nfcts, 3)
+    cfg = Config(eb=EnergyBalanceConfig(lEB=True, bldT=285.0, flrT=284.0))
+    facets = np.ones(nfcts, np.int64)
+    eb = FacetEB(cfg, facets, np.tile([0.0, 0.0, 1.0], (nfcts, 1)),
+                 np.ones(nfcts), np.full(nfcts, 0.85),
+                 np.tile([0.1, 0.2, 0.2], (nfcts, 1)),
+                 np.tile([1.875e6] * 3, (nfcts, 1)),
+                 np.tile([0.75] * 4, (nfcts, 1)), np.zeros(nfcts, bool),
+                 np.zeros((nfcts, nfcts)), None, np.ones(nfcts),
+                 np.zeros(nfcts), Tlyr, dtype=np.float64)
+    T0 = np.asarray(eb.T0)
+    np.testing.assert_allclose(T0[:, :3], Tlyr)
+    np.testing.assert_allclose(T0[:, 3], 285.0)   # inner face = bldT

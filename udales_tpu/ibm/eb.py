@@ -114,15 +114,19 @@ class FacetEB:
         self.DM = jnp.asarray(DM, fdt)
         self.EM = jnp.asarray(EM, fdt)
 
-        # initial facet temperatures (initfac.f90:320-349)
+        # initial facet temperatures (initfac.f90:320-349); with lfacTlyrs
+        # the file carries per-LAYER temperatures (initfac.f90:301-318)
         bldT = cfg.eb.bldT
         flrT = cfg.eb.flrT
         T0 = np.zeros((nfcts, n))
-        Ti = (np.asarray(Tfacinit) if Tfacinit is not None
-              else np.full(nfcts, 295.0))
         inner = np.where(self.facets > 0, bldT, flrT)
-        for j in range(n):
-            T0[:, j] = Ti - (Ti - inner) / L * j
+        Ti_arr = np.asarray(Tfacinit) if Tfacinit is not None else None
+        if Ti_arr is not None and Ti_arr.ndim == 2:
+            T0[:, :L] = Ti_arr[:, :L]
+        else:
+            Ti = Ti_arr if Ti_arr is not None else np.full(nfcts, 295.0)
+            for j in range(n):
+                T0[:, j] = Ti - (Ti - inner) / L * j
         T0[:, L] = inner
         self.T0 = jnp.asarray(T0, fdt)
         self.dtype = fdt
@@ -164,8 +168,13 @@ class FacetEB:
             faclam[i, L] = faclam[i, L - 1]
         svf = read_column_file(case_dir / f"svf.inp.{expnr}")
         netsw = read_column_file(case_dir / f"netsw.inp.{expnr}")
+        tlyr_p = case_dir / f"Tfacinit_layers.inp.{expnr}"
         tfac_p = case_dir / f"Tfacinit.inp.{expnr}"
-        Tfacinit = read_column_file(tfac_p) if tfac_p.exists() else None
+        if cfg.eb.lfacTlyrs and tlyr_p.exists():
+            # per-layer initial temperatures (initfac.f90:301-318)
+            Tfacinit = np.loadtxt(tlyr_p, skiprows=1, ndmin=2)
+        else:
+            Tfacinit = read_column_file(tfac_p) if tfac_p.exists() else None
         vf = vf_sparse = None
         if cfg.eb.lvfsparse:
             tri = np.loadtxt(case_dir / f"vfsparse.inp.{expnr}", ndmin=2)

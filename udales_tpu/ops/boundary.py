@@ -27,14 +27,6 @@ from ..state import Fields
 from .halo import pad_axis, pad_periodic_xy, take_k
 
 
-def _open_x(cfg: Config) -> bool:
-    return cfg.bc.BCxm != BC_PERIODIC
-
-
-def _open_y(cfg: Config) -> bool:
-    return cfg.bc.BCym != BC_PERIODIC
-
-
 def _assemble(gk, h, lo_plane, hi_plane):
     """Pad y periodically, then attach explicit x ghost planes (already
     k-ghosted, shape (ny, nzg))."""
@@ -79,14 +71,6 @@ def _dispatch(gk, h, cfg, xlo=None, xhi=None, ylo=None, yhi=None):
     if ylo is not None:
         return _assemble_y(gk, h, ylo, yhi)
     return pad_periodic_xy(gk, h)
-
-
-def _pad_field(gk, h, cfg, lo_plane=None, hi_plane=None):
-    if not (_open_x(cfg) or _open_y(cfg)):
-        return pad_periodic_xy(gk, h)
-    if _open_x(cfg):
-        return _assemble(gk, h, lo_plane, hi_plane)
-    return _assemble_y(gk, h, lo_plane, hi_plane)
 
 
 # --- per-field k-ghost rules (shared by interior arrays and x planes) ------
