@@ -23,11 +23,16 @@ Oracles (SURVEY.md section 4 "Reference/parity tests"):
      (same assertions as the reference's own
      test_udbase_against_matlab.py:33-71, exact to 1e-12).
 
-Non-reproducible fixture (documented): examples/201/Sdir.txt does not match
-any single direct-beam geometry (a (zenith, azimuth, I) scan tops out at
-corr 0.80 with facet maxima exceeding I*cos(zenith) for every candidate I),
-so it was most likely produced from a weather time series (isolar=3,
-weatherfname) that is not committed; no parity is claimed for it.
+Non-reproducible fixture (documented, bound tightened round 4):
+examples/201/Sdir.txt is not reproducible from the committed geometry —
+a fine (zenith, azimuth) scan tops out at corr 0.904 (zen=24, az=138,
+lsq I=629, rms residual 107 W/m2), a 312-beam nonnegative least-squares
+fit over the whole sun dome only reaches 0.906 (ruling out a
+weather-series average of direct beams on THIS geometry), and even the
+sorted value distributions disagree (ref reaches 814 W/m2 with a 691
+90th percentile vs 575 for the best beam).  The file therefore predates
+the committed geometry or used a different shading pipeline; no parity
+is claimed for it.
 """
 import json
 from pathlib import Path
