@@ -440,10 +440,25 @@ class IBM:
         else:
             keep_sections = np.ones(len(grp), bool)
 
+        # --- z-major slab layout ----------------------------------------
+        # Sections only exist up to the tallest building, but z is the
+        # LANE dimension of the (K, nx, ny, nz) layout, so slicing it
+        # saves nothing (a 40-lane array still stores/streams 128 lanes).
+        # Storing the stacks as (K, kz, ny, nx) instead makes z a major
+        # dim: the slab restriction cuts the streamed bytes by kz/nz —
+        # the wall functions are bandwidth-bound on exactly these reads —
+        # while nx stays the clean lane dim.  The interpolated fields are
+        # transposed into this layout at run time (a few small copies).
+        kz = int(ijk[:, 2].max()) + 1 if len(ijk) else 1
+        kz = min(kz, shape[2])
+        Nt = kz * ny * nx
+        flat_t = np.ravel_multi_index(
+            (ijk[:, 2], ijk[:, 1], ijk[:, 0]), (kz, ny, nx))
+
         def densify(vals, pad):
-            a = np.full((K, N), pad, np.float64)
-            a[slot, flat] = vals
-            return jnp.asarray(a.reshape((K,) + shape), g.dtype)
+            a = np.full((K, Nt), pad, np.float64)
+            a[slot, flat_t] = vals
+            return jnp.asarray(a.reshape((K, kz, ny, nx)), g.dtype)
 
         norms = self.facnorm[fid]
         z0 = np.maximum(self.facz0[fid], 1e-30)
@@ -477,9 +492,9 @@ class IBM:
         elif which != "c":
             d["ctm_neutral"] = densify((const.fkar / logdz) ** 2, 0.0)
         if cfg.eb.lEB:
-            facid_d = np.zeros((K, N), np.int32)
-            facid_d[slot, flat] = fid
-            d["facid"] = jnp.asarray(facid_d.reshape((K,) + shape))
+            facid_d = np.zeros((K, Nt), np.int32)
+            facid_d[slot, flat_t] = fid
+            d["facid"] = jnp.asarray(facid_d.reshape((K, kz, ny, nx)))
             if "tsurf_static" not in d:
                 d["tsurf_static"] = densify(np.asarray(self.facT)[fid], 288.0)
         if which == "c":
@@ -499,7 +514,9 @@ class IBM:
             # sections are excluded here; their per-facet sums come from
             # the tail vectors directly (segment_sum over tail["fac"]).
             ks = keep_sections
-            d["_hsec_idx"] = jnp.asarray(slot[grp[ks]] * N + flat0[ks],
+            flat0_t = np.ravel_multi_index(
+                (ijk0[ks, 2], ijk0[ks, 1], ijk0[ks, 0]), (kz, ny, nx))
+            d["_hsec_idx"] = jnp.asarray(slot[grp[ks]] * Nt + flat0_t,
                                          jnp.int32)
             d["_hsec_fac"] = jnp.asarray(fid0[ks], jnp.int32)
             d["_hsec_area"] = jnp.asarray(area0[ks], g.dtype)
@@ -772,21 +789,28 @@ class IBM:
             z = jnp.zeros(shape, dtype)
             return (z, None) if ret_slots else z
         uu, vv, ww, Ta = self._dense_uvwT(which, g, grid)
-        (tx, ty, tz), utan, ok = self._dense_tangent(dn, uu, vv, ww)
+        # z-major slab views of the interpolated fields (see _build_dense:
+        # the stacks are (K, kz, ny, nx) so only the building slab streams)
+        kz = dn["n0"].shape[1]
+        T = lambda a: jnp.transpose(a[:, :, :kz], (2, 1, 0))
+        uu_s, vv_s, ww_s, Ta_s = T(uu), T(vv), T(ww), T(Ta)
+        (tx, ty, tz), utan, ok = self._dense_tangent(dn, uu_s, vv_s, ww_s)
         if cfg.walls.iwallmom == 2:
             ctm = _mom_coef_stability_pre(
                 utan, dn["dist"], dn["logdz"], dn["logzh"],
-                jnp.exp(0.5 * dn["logdz"]), Ta, surf[which],
+                jnp.exp(0.5 * dn["logdz"]), Ta_s, surf[which],
                 cfg.walls.prandtlturb)
         else:
             ctm = dn["ctm_neutral"]
         stress = ctm * utan * utan
         a = {"u": tx, "v": ty, "w": tz}[which]
-        ua = {"u": uu, "v": vv, "w": ww}[which]
+        ua = {"u": uu_s, "v": vv_s, "w": ww_s}[which]
         stress_dir = jnp.sign(ua) * jnp.abs(a * stress)
         # padding slots carry avol=0, so `ok` alone masks the rest
         contrib = jnp.where(ok, -stress_dir * dn["avol"], 0.0)
-        out = jnp.sum(contrib, axis=0).astype(dtype)
+        out_s = jnp.transpose(jnp.sum(contrib, axis=0), (2, 1, 0))
+        out = jnp.pad(out_s, ((0, 0), (0, 0), (0, shape[2] - kz))
+                      ).astype(dtype)
         if "_tail" in dn:
             t = dn["_tail"]
             tvals = self._tail_fields(t, uu, vv, ww, Ta)
@@ -854,9 +878,13 @@ class IBM:
         if dn is None:
             return zfld, zfld, zt, zt, nf0, nf0, None
         uu, vv, ww, Ta = self._dense_uvwT("c", g, grid)
-        _, utan, ok = self._dense_tangent(dn, uu, vv, ww)
+        # z-major slab views (see _build_dense / _wallfunmom_dense)
+        kz = dn["n0"].shape[1]
+        Tz = lambda a: jnp.transpose(a[:, :, :kz], (2, 1, 0))
+        uu_s, vv_s, ww_s, Ta_s = Tz(uu), Tz(vv), Tz(ww), Tz(Ta)
+        _, utan, ok = self._dense_tangent(dn, uu_s, vv_s, ww_s)
         valid = ok  # padding slots carry awgt=0/area=0
-        dzh_k = jnp.asarray(grid.j("dzh"))[:nz][None, None, None, :]
+        dzh_k = jnp.asarray(grid.j("dzh"))[:kz][None, :, None, None]
         areaK = dn["awgt"] * (grid.dx * grid.dy) * dzh_k
         dthl, dqt = zfld, zfld
         hf_tot, ef_tot = zt, zt
@@ -887,10 +915,13 @@ class IBM:
             else:
                 cth, flux, htc = _heat_coef_flux_pre(
                     utan, dn["dist"], dn["logdz"], dn["logzh"],
-                    jnp.exp(0.5 * dn["logdz"]), Ta, surf["c"],
+                    jnp.exp(0.5 * dn["logdz"]), Ta_s, surf["c"],
                     cfg.walls.prandtlturb)
             fl = jnp.where(valid, flux, 0.0)
-            dthl = -jnp.sum(fl * dn["awgt"], axis=0).astype(dtype)
+            dthl_s = jnp.transpose(-jnp.sum(fl * dn["awgt"], axis=0),
+                                   (2, 1, 0))
+            dthl = jnp.pad(dthl_s, ((0, 0), (0, 0), (0, nz - kz))
+                           ).astype(dtype)
             hf_tot = jnp.sum(fl * areaK).astype(dtype)
 
         # latent heat on green-roof facets (modibm.f90:1555-1589)
@@ -907,11 +938,14 @@ class IBM:
                      jnp.where(jnp.abs(n2 - 1) < e, b.bcqfz, 0.0)))))
             mfl = jnp.where(valid & (dn["lGR"] > 0.0),
                             mflux * jnp.ones_like(utan), 0.0)
-            dqt = -jnp.sum(mfl * dn["awgt"], axis=0).astype(dtype)
+            dqt_s = jnp.transpose(-jnp.sum(mfl * dn["awgt"], axis=0),
+                                  (2, 1, 0))
+            dqt = jnp.pad(dqt_s, ((0, 0), (0, 0), (0, nz - kz))
+                          ).astype(dtype)
             ef_tot = jnp.sum(mfl * areaK).astype(dtype)
         elif (cfg.physics.lmoist and fac is not None
                 and cfg.walls.iwallmoist == 2 and "qwall" in surf):
-            qtair = 0.0 * utan + g.qt[1:-1, 1:-1, 1:-1]
+            qtair = 0.0 * utan + Tz(g.qt[1:-1, 1:-1, 1:-1])
             qwall, hurel = surf["qwall"], surf["hurel"]
             resa = 1.0 / jnp.maximum(htc * jnp.abs(utan), 1e-10)
             resc, ress = surf["resc"], surf["ress"]
@@ -921,7 +955,10 @@ class IBM:
                 + (1.0 - cveg) * (qtair - qwall * hurel) / (resa + ress))
             mfl = jnp.where(valid & (dn["lGR"] > 0.0)
                             & (htc * jnp.abs(utan) > 0.0), mflux, 0.0)
-            dqt = -jnp.sum(mfl * dn["awgt"], axis=0).astype(dtype)
+            dqt_s = jnp.transpose(-jnp.sum(mfl * dn["awgt"], axis=0),
+                                  (2, 1, 0))
+            dqt = jnp.pad(dqt_s, ((0, 0), (0, 0), (0, nz - kz))
+                          ).astype(dtype)
             ef_tot = jnp.sum(mfl * areaK).astype(dtype)
 
         # sparse tail sections (K-cap overflow of real-city geometry)

@@ -73,7 +73,12 @@ def _leaf_spec(path, leaf) -> P:
         if last == "Utav":
             return P("x", None)
         return P()      # profiles/scalars replicate
-    if nd == 4:          # sv (nsv,nx,ny,nz) / ibmp stacks (K,nx,ny,nz[+1])
+    if nd == 4 and ("dense" in names or "surf" in names):
+        # IBM dense wall-fn stacks (and the surface-temperature stacks
+        # split off them) are z-major slabs (K, kz, ny, nx) — see
+        # ibm/ibm.py _build_dense
+        return P(None, None, "y", "x")
+    if nd == 4:          # sv (nsv, nx, ny, nz)
         return field_spec(4, leading_batch=True)
     if nd >= 2 and "ibmp" not in names and "fac" not in names:
         return field_spec(nd)
