@@ -602,7 +602,7 @@ class IBM:
                 # fac_tau_{x,y,z}: per-facet signed stress sums / facet area
                 for which, key in (("u", "tau_x"), ("v", "tau_y"),
                                    ("w", "tau_z")):
-                    t, slots = self._wallfunmom_dense(
+                    t, slots, tsum = self._wallfunmom_dense(
                         which, g, cfg, surf, dense, ret_slots=True)
                     if which == "u":
                         du = du + t
@@ -610,10 +610,12 @@ class IBM:
                         dv = dv + t
                     else:
                         dw = dw + t
-                    fstats[key] = (jnp.zeros(self.nfcts, c.u.dtype)
-                                   if slots is None else
-                                   self._facsum(dense[which], slots)
-                                   / self.faca)
+                    fsum = (jnp.zeros(self.nfcts, c.u.dtype)
+                            if slots is None else
+                            self._facsum(dense[which], slots))
+                    if tsum is not None:
+                        fsum = fsum + tsum
+                    fstats[key] = fsum / self.faca
             else:
                 du = du + self._wallfunmom_dense("u", g, cfg, surf, dense)
                 dv = dv + self._wallfunmom_dense("v", g, cfg, surf, dense)
@@ -787,7 +789,7 @@ class IBM:
         dn = dense[which]
         if dn is None:
             z = jnp.zeros(shape, dtype)
-            return (z, None) if ret_slots else z
+            return (z, None, None) if ret_slots else z
         uu, vv, ww, Ta = self._dense_uvwT(which, g, grid)
         # z-major slab views of the interpolated fields (see _build_dense:
         # the stacks are (K, kz, ny, nx) so only the building slab streams)
@@ -811,6 +813,7 @@ class IBM:
         out_s = jnp.transpose(jnp.sum(contrib, axis=0), (2, 1, 0))
         out = jnp.pad(out_s, ((0, 0), (0, 0), (0, shape[2] - kz))
                       ).astype(dtype)
+        tail_facsum = None
         if "_tail" in dn:
             t = dn["_tail"]
             tvals = self._tail_fields(t, uu, vv, ww, Ta)
@@ -818,8 +821,14 @@ class IBM:
                 which, t, tvals, cfg, surf.get("_tail_" + which))
             add = jnp.where(ok_t, -sdir_t * t["avol"], 0.0).astype(dtype)
             out = out.reshape(-1).at[t["idx"]].add(add).reshape(shape)
+            if ret_slots:
+                # tail sections' contribution to the lwritefac per-facet
+                # stress sums (the dense slots only cover kept sections)
+                tail_facsum = jax.ops.segment_sum(
+                    jnp.where(ok_t, sdir_t, 0.0) * t["area"], t["fac"],
+                    num_segments=self.nfcts).astype(dtype)
         if ret_slots:
-            return out, jnp.where(ok, stress_dir, 0.0)
+            return out, jnp.where(ok, stress_dir, 0.0), tail_facsum
         return out
 
     @staticmethod
