@@ -43,6 +43,14 @@ def test_regenerates_ibm_files_exact(regen101):
         assert a == b, f
 
 
+def test_regenerates_facets_unused(regen101):
+    """facets_unused.<exp> (facets without c-sections, udprep_ibm.py
+    write_facets_unused) must match the shipped file (empty for 101)."""
+    out, _ = regen101
+    assert (out / "facets_unused.101").read_text() == \
+        (REF101 / "facets_unused.101").read_text()
+
+
 def test_regenerates_case_inputs(regen101):
     out, _ = regen101
     pa = np.loadtxt(REF101 / "prof.inp.101", skiprows=2)

@@ -328,8 +328,11 @@ class IBMPreproc:
         outdir = Path(outdir)
         outdir.mkdir(parents=True, exist_ok=True)
         counts = {"nfcts": len(self.tris)}
+        crows = []
         for which in ("u", "v", "w", "c"):
             bnd, rows = self.boundary_and_sections(which)
+            if which == "c":
+                crows = rows
             solid = self.solid_mask(which)
             sp = np.argwhere(solid)
             _write_sparse(outdir / f"solid_{which}.txt", sp)
@@ -351,6 +354,15 @@ class IBMPreproc:
                 f.write("# area\n")
                 for a in areas:
                     f.write(f"{a:.6f}\n")
+            # facets without any c-grid section (udprep_ibm.py
+            # write_facets_unused): 1-based ids, one per line, no header
+            used = ({int(r[0]) + 1 for r in crows}   # rows are 0-based
+                    if len(crows) else set())
+            unused = [n for n in range(1, len(self.tris) + 1)
+                      if n not in used]
+            with open(outdir / f"facets_unused.{expnr}", "w") as f:
+                for n in unused:
+                    f.write(f"{n}\n")
         return counts
 
 
