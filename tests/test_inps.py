@@ -81,3 +81,30 @@ def test_patched_namoptions_runs(regen101):
     from udales_tpu.config import load_namoptions
     cfg = load_namoptions(out / "namoptions.101")
     assert cfg.walls.nfcts == 320
+
+
+def test_types_file_pathway(tmp_path):
+    """read_types/types_path (&INPS): per-facet wall types from a file
+    override the floor/wall heuristic; an authored facets.inp is never
+    overwritten (udprep_ibm.py write_facets)."""
+    import numpy as np
+    from udales_tpu.prep.prep import (PrepConfig, make_box_stl,
+                                      prepare_case)
+    make_box_stl(tmp_path / "g.stl", 4, 8, 4, 8, 6, 16.0, 16.0)
+    from udales_tpu.prep.stl import read_stl
+    ntri = len(read_stl(tmp_path / "g.stl")[0])
+    types = 1 + (np.arange(ntri) % 3)
+    np.savetxt(tmp_path / "mytypes.txt", types, fmt="%d",
+               header="facet types")
+    cfg = PrepConfig(itot=16, jtot=16, ktot=16, xlen=16.0, ylen=16.0,
+                     zsize=16.0, expnr="906",
+                     types_file=str(tmp_path / "mytypes.txt"))
+    prepare_case(tmp_path / "g.stl", tmp_path, cfg)
+    got = np.loadtxt(tmp_path / "facets.inp.906", skiprows=1)[:, 0]
+    np.testing.assert_array_equal(got.astype(int), types)
+    # authored-input protection: a re-run with different types keeps it
+    cfg2 = PrepConfig(itot=16, jtot=16, ktot=16, xlen=16.0, ylen=16.0,
+                      zsize=16.0, expnr="906")
+    prepare_case(tmp_path / "g.stl", tmp_path, cfg2)
+    got2 = np.loadtxt(tmp_path / "facets.inp.906", skiprows=1)[:, 0]
+    np.testing.assert_array_equal(got2.astype(int), types)

@@ -323,8 +323,14 @@ class IBMPreproc:
 
     # -- full pipeline -----------------------------------------------------
     def run(self, outdir: str | Path, expnr: str, floor_type: int = -1,
-            wall_type: int = 1, write_facets: bool = True):
-        """Generate all IBM input files; returns the &WALLS counts dict."""
+            wall_type: int = 1, write_facets: bool = True,
+            facet_types=None):
+        """Generate all IBM input files; returns the &WALLS counts dict.
+
+        `facet_types`: per-facet wall-type ids (the udprep read_types /
+        types_path pathway) overriding the floor/wall heuristic.  An
+        existing facets.inp is treated as authored input and is NOT
+        overwritten (udprep_ibm.py write_facets protection)."""
         outdir = Path(outdir)
         outdir.mkdir(parents=True, exist_ok=True)
         counts = {"nfcts": len(self.tris)}
@@ -342,13 +348,23 @@ class IBMPreproc:
             counts[f"nbndpts_{which}"] = len(bnd)
             counts[f"nfctsecs_{which}"] = len(rows)
         if write_facets:
-            # floor facets: normal +z at z ~ 0
-            z0 = np.abs(self.tris[:, :, 2]).max(axis=1) < 1e-9
-            types = np.where(z0, floor_type, wall_type)
-            with open(outdir / f"facets.inp.{expnr}", "w") as f:
-                f.write("# type, normal\n")
-                for t, n in zip(types, self.normals):
-                    f.write(f"{t:4d}  {n[0]:9.4f} {n[1]:9.4f} {n[2]:9.4f}\n")
+            if facet_types is not None:
+                types = np.asarray(facet_types, int)
+                if len(types) != len(self.tris):
+                    raise ValueError(
+                        f"facet types carry {len(types)} values for "
+                        f"{len(self.tris)} facets")
+            else:
+                # floor facets: normal +z at z ~ 0
+                z0 = np.abs(self.tris[:, :, 2]).max(axis=1) < 1e-9
+                types = np.where(z0, floor_type, wall_type)
+            fpath = outdir / f"facets.inp.{expnr}"
+            if not fpath.exists():
+                with open(fpath, "w") as f:
+                    f.write("# type, normal\n")
+                    for t, n in zip(types, self.normals):
+                        f.write(f"{t:4d}  {n[0]:9.4f} {n[1]:9.4f} "
+                                f"{n[2]:9.4f}\n")
             areas = triangle_areas(self.tris)
             with open(outdir / f"facetarea.inp.{expnr}", "w") as f:
                 f.write("# area\n")

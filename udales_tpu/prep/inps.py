@@ -79,6 +79,10 @@ def prep_config_from_namoptions(nam_path: str | Path):
         elif isolar == 3:
             updates["weather_file"] = str(
                 inps.get("weatherfname", "weather.txt"))
+    if bool(inps.get("read_types", False)) and inps.get("types_path"):
+        tp = Path(str(inps["types_path"]))
+        updates["types_file"] = str(tp if tp.is_absolute()
+                                    else nam_path.parent / tp)
     if bool(inps.get("lzstretch", False)):
         updates["lzstretch"] = True
         for flag, meth in (("lstretchexp", "exp"),

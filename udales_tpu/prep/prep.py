@@ -73,6 +73,8 @@ class PrepConfig:
     trees_file: str | None = None
     # weather-series shortwave (udprep isolar=3): path to a measured series
     weather_file: str | None = None
+    # per-facet wall types from a file (udprep read_types/types_path)
+    types_file: str | None = None
     # stretched vertical grid (udprep GridSection; prep/zgrid.py)
     lzstretch: bool = False
     stretch_method: str = "tanh"   # exp | expcheck | tanh | 2tanh
@@ -101,14 +103,34 @@ def prepare_case(stl_path: str | Path, outdir: str | Path,
         grid = Grid.uniform(cfg.itot, cfg.jtot, cfg.ktot, cfg.xlen,
                             cfg.ylen, cfg.zsize, dtype=np.float64)
     pp = IBMPreproc.from_stl(stl_path, grid)
-    counts = pp.run(outdir, cfg.expnr, cfg.floor_type, cfg.wall_type)
+    facet_types = None
+    if cfg.types_file is not None:
+        # headerless or one-line-header list of per-facet type ids
+        # (udprep_ibm.py _load_facet_types)
+        for skiprows in (0, 1):
+            try:
+                vals = np.atleast_1d(np.loadtxt(cfg.types_file,
+                                                skiprows=skiprows))
+            except ValueError:
+                continue
+            if len(vals) == len(pp.tris):
+                facet_types = vals.astype(int)
+                break
+        if facet_types is None:
+            raise ValueError(f"{cfg.types_file} does not carry "
+                             f"{len(pp.tris)} facet types")
+    counts = pp.run(outdir, cfg.expnr, cfg.floor_type, cfg.wall_type,
+                    facet_types=facet_types)
 
-    # factypes + initial facet temperatures
-    with open(outdir / f"factypes.inp.{cfg.expnr}", "w") as f:
-        f.write("# walltype, 3 layers per type\n# id lGR z0 z0h al em "
-                "d1 d2 d3 C1 C2 C3 l1 l2 l3 k1 k2 k3 k4\n#\n")
-        for row in DEFAULT_FACTYPES:
-            f.write(" ".join(f"{v:g}" for v in row) + "\n")
+    # factypes + initial facet temperatures (an existing authored
+    # factypes.inp is never overwritten, as in udprep)
+    ftpath = outdir / f"factypes.inp.{cfg.expnr}"
+    if not ftpath.exists():
+        with open(ftpath, "w") as f:
+            f.write("# walltype, 3 layers per type\n# id lGR z0 z0h al em "
+                    "d1 d2 d3 C1 C2 C3 l1 l2 l3 k1 k2 k3 k4\n#\n")
+            for row in DEFAULT_FACTYPES:
+                f.write(" ".join(f"{v:g}" for v in row) + "\n")
     nfcts = counts["nfcts"]
     with open(outdir / f"Tfacinit.inp.{cfg.expnr}", "w") as f:
         f.write("# initial facet temperature\n")
