@@ -108,3 +108,36 @@ def test_types_file_pathway(tmp_path):
     prepare_case(tmp_path / "g.stl", tmp_path, cfg2)
     got2 = np.loadtxt(tmp_path / "facets.inp.906", skiprows=1)[:, 0]
     np.testing.assert_array_equal(got2.astype(int), types)
+
+
+def test_lscale_forcing_columns(tmp_path):
+    """generate_lscale semantics (udprep_forcing.py:233-276): geostrophic
+    wind under lcoriol, pressure gradient only when nothing else forces
+    the flow, subsidence/radiation columns always."""
+    import numpy as np
+    from udales_tpu.prep.prep import (PrepConfig, make_box_stl,
+                                      prepare_case)
+    make_box_stl(tmp_path / "g.stl", 4, 8, 4, 8, 6, 16.0, 16.0)
+    base = dict(itot=16, jtot=16, ktot=16, xlen=16.0, ylen=16.0,
+                zsize=16.0)
+    d1 = tmp_path / "c1"
+    prepare_case(tmp_path / "g.stl", d1, PrepConfig(
+        **base, expnr="907", u0=5.0, v0=-1.0, lcoriol=True, w_s=-0.01,
+        R=-2e-5))
+    ls = np.loadtxt(d1 / "lscale.inp.907", skiprows=2)
+    np.testing.assert_allclose(ls[:, 1], 5.0)
+    np.testing.assert_allclose(ls[:, 2], -1.0)
+    np.testing.assert_allclose(ls[:, 3], 0.0)
+    np.testing.assert_allclose(ls[:, 5], -0.01)
+    np.testing.assert_allclose(ls[:, 9], -2e-5)
+    d2 = tmp_path / "c2"
+    prepare_case(tmp_path / "g.stl", d2, PrepConfig(
+        **base, expnr="908", dpdx=1e-4))
+    ls = np.loadtxt(d2 / "lscale.inp.908", skiprows=2)
+    np.testing.assert_allclose(ls[:, 1], 0.0)
+    np.testing.assert_allclose(ls[:, 3], 1e-4)
+    d3 = tmp_path / "c3"
+    prepare_case(tmp_path / "g.stl", d3, PrepConfig(
+        **base, expnr="909", dpdx=1e-4, has_flow_forcing=True))
+    ls = np.loadtxt(d3 / "lscale.inp.909", skiprows=2)
+    np.testing.assert_allclose(ls[:, 3], 0.0)   # volume-flow forcing wins

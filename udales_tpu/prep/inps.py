@@ -49,7 +49,9 @@ def prep_config_from_namoptions(nam_path: str | Path):
     )
     scalar_map = dict(
         u0="u0", v0="v0", thl0="thl0", qt0="qt0", tke="e12", dpdx="dpdx",
-        fact="facT0", solarazimuth="azimuth_deg", solarzenith="zenith_deg",
+        fact="facT0", dpdy="dpdy", w_s="w_s", r="R", dqtdxls="dqtdxls",
+        dqtdyls="dqtdyls", dqtdtls="dqtdtls",
+        solarazimuth="azimuth_deg", solarzenith="zenith_deg",
         i="I_dir", dsky="D_diff", albedo="albedo",
         latitude="latitude", longitude="longitude", timezone="timezone",
         xazimuth="xazimuth",
@@ -79,6 +81,14 @@ def prep_config_from_namoptions(nam_path: str | Path):
         elif isolar == 3:
             updates["weather_file"] = str(
                 inps.get("weatherfname", "weather.txt"))
+    for flag in ("lprofforc", "lcoriol"):
+        if bool(inps.get(flag, False)):
+            updates[flag] = True
+    ph = g.get("PHYSICS", {})
+    updates["has_flow_forcing"] = any(
+        bool(inps.get(k, ph.get(k, False)))
+        for k in ("luoutflowr", "lvoutflowr", "luvolflowr", "lvvolflowr",
+                  "lnudge"))
     if bool(inps.get("read_types", False)) and inps.get("types_path"):
         tp = Path(str(inps["types_path"]))
         updates["types_file"] = str(tp if tp.is_absolute()

@@ -50,6 +50,17 @@ class PrepConfig:
     qt0: float = 0.0
     e12: float = 5e-5
     dpdx: float = 0.0
+    dpdy: float = 0.0
+    # large-scale forcing profile generation (udprep ForcingSection,
+    # udprep_forcing.py generate_lscale)
+    w_s: float = 0.0          # subsidence velocity
+    R: float = 0.0            # radiative cooling dthlrad
+    dqtdxls: float = 0.0
+    dqtdyls: float = 0.0
+    dqtdtls: float = 0.0
+    lprofforc: bool = False
+    lcoriol: bool = False
+    has_flow_forcing: bool = False   # any *outflowr/*volflowr/nudge switch
     floor_type: int = -1
     wall_type: int = 1
     # radiation
@@ -144,11 +155,21 @@ def prepare_case(stl_path: str | Path, outdir: str | Path,
         for z in zf:
             f.write(f"{z:14.6f} {cfg.thl0:12.4f} {cfg.qt0:12.6f} "
                     f"{cfg.u0:12.4f} {cfg.v0:12.4f} {cfg.e12:12.6f}\n")
+    # large-scale forcing columns (udprep_forcing.py:233-276): geostrophic
+    # wind under lprofforc/lcoriol, else pressure gradients when no other
+    # forcing switch drives the flow; subsidence/moisture/radiation always
+    ug = vg = pgx = pgy = 0.0
+    if cfg.lprofforc or cfg.lcoriol:
+        ug, vg = cfg.u0, cfg.v0
+    elif not cfg.has_flow_forcing:
+        pgx, pgy = cfg.dpdx, cfg.dpdy
     with open(outdir / f"lscale.inp.{cfg.expnr}", "w") as f:
         f.write("# generated\n# z ug vg pgx pgy wfls dqtdx dqtdy dqtdt "
                 "dthlrad\n")
         for z in zf:
-            f.write(f"{z:14.6f} 0 0 {cfg.dpdx:.8f} 0 0 0 0 0 0\n")
+            f.write(f"{z:14.6f} {ug:.6f} {vg:.6f} {pgx:.8f} {pgy:.8f} "
+                    f"{cfg.w_s:.6f} {cfg.dqtdxls:.8f} {cfg.dqtdyls:.8f} "
+                    f"{cfg.dqtdtls:.8f} {cfg.R:.8f}\n")
 
     # scalars: initial profiles + point/line sources (the reference's
     # udprep_scalars section; file layouts modscalsource.f90:300,342)
