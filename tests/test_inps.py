@@ -141,3 +141,19 @@ def test_lscale_forcing_columns(tmp_path):
         **base, expnr="909", dpdx=1e-4, has_flow_forcing=True))
     ls = np.loadtxt(d3 / "lscale.inp.909", skiprows=2)
     np.testing.assert_allclose(ls[:, 3], 0.0)   # volume-flow forcing wins
+
+
+def test_prof_lapse_rate(tmp_path):
+    """thl lapse integrates over half-level spacings
+    (udprep_forcing.py:59-65)."""
+    import numpy as np
+    from udales_tpu.prep.prep import (PrepConfig, make_box_stl,
+                                      prepare_case)
+    make_box_stl(tmp_path / "g.stl", 4, 8, 4, 8, 6, 16.0, 16.0)
+    prepare_case(tmp_path / "g.stl", tmp_path, PrepConfig(
+        itot=16, jtot=16, ktot=16, xlen=16.0, ylen=16.0, zsize=16.0,
+        expnr="910", thl0=290.0, lapse=0.01))
+    pr = np.loadtxt(tmp_path / "prof.inp.910", skiprows=2)
+    # uniform dz=1 -> thl[k] = 290 + 0.01*k
+    np.testing.assert_allclose(pr[:, 1], 290.0 + 0.01 * np.arange(16),
+                               atol=1e-3)

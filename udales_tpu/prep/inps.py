@@ -48,7 +48,7 @@ def prep_config_from_namoptions(nam_path: str | Path):
         expnr=expnr,
     )
     scalar_map = dict(
-        u0="u0", v0="v0", thl0="thl0", qt0="qt0", tke="e12", dpdx="dpdx",
+        u0="u0", v0="v0", thl0="thl0", qt0="qt0", tke="e12", lapse="lapse", dpdx="dpdx",
         fact="facT0", dpdy="dpdy", w_s="w_s", r="R", dqtdxls="dqtdxls",
         dqtdyls="dqtdyls", dqtdtls="dqtdtls",
         solarazimuth="azimuth_deg", solarzenith="zenith_deg",

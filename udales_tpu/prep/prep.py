@@ -49,6 +49,7 @@ class PrepConfig:
     thl0: float = 288.0
     qt0: float = 0.0
     e12: float = 5e-5
+    lapse: float = 0.0        # thl lapse rate [K/m] (generate_prof)
     dpdx: float = 0.0
     dpdy: float = 0.0
     # large-scale forcing profile generation (udprep ForcingSection,
@@ -148,12 +149,18 @@ def prepare_case(stl_path: str | Path, outdir: str | Path,
         for _ in range(nfcts):
             f.write(f"{cfg.facT0:.2f}\n")
 
-    # profiles
+    # profiles; the thl lapse integrates over the (possibly stretched)
+    # half-level spacings (udprep_forcing.py:59-65)
     zf = grid.zf
+    thl = np.full(len(zf), cfg.thl0)
+    if cfg.lapse:
+        dzt = grid.dzf
+        for k in range(len(zf) - 1):
+            thl[k + 1] = thl[k] + cfg.lapse * 0.5 * (dzt[k] + dzt[k + 1])
     with open(outdir / f"prof.inp.{cfg.expnr}", "w") as f:
         f.write("# generated by udales_tpu prep\n# z thl qt u v tke\n")
-        for z in zf:
-            f.write(f"{z:14.6f} {cfg.thl0:12.4f} {cfg.qt0:12.6f} "
+        for z, t in zip(zf, thl):
+            f.write(f"{z:14.6f} {t:12.4f} {cfg.qt0:12.6f} "
                     f"{cfg.u0:12.4f} {cfg.v0:12.4f} {cfg.e12:12.6f}\n")
     # large-scale forcing columns (udprep_forcing.py:233-276): geostrophic
     # wind under lprofforc/lcoriol, else pressure gradients when no other
