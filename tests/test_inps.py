@@ -157,3 +157,45 @@ def test_prof_lapse_rate(tmp_path):
     # uniform dz=1 -> thl[k] = 290 + 0.01*k
     np.testing.assert_allclose(pr[:, 1], 290.0 + 0.01 * np.arange(16),
                                atol=1e-3)
+
+
+def test_update_prof_from_driver(tmp_path):
+    """idriver=2 profile init from the precursor's xytdump slab profiles
+    (udprep_forcing.py:155-210); missing output warns and keeps prof."""
+    import numpy as np
+    import warnings as _w
+    from udales_tpu.io.netcdf import NCWriter
+    from udales_tpu.grid import Grid
+    from udales_tpu.prep.inps import update_prof_from_driver
+    nz = 8
+    # target case prof
+    zf = (np.arange(nz) + 0.5)
+    with open(tmp_path / "prof.inp.902", "w") as f:
+        f.write("# gen\n# z thl qt u v tke\n")
+        for z in zf:
+            f.write(f"{z:14.6f} 288.0 0.0 1.0 0.0 0.0\n")
+    # missing precursor output -> warning, unchanged
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ok = update_prof_from_driver(tmp_path, "902", 949, tmp_path)
+    assert not ok and any("not found" in str(r.message) for r in rec)
+    # synthesize a precursor xytdump
+    g = Grid.uniform(4, 4, nz, 4.0, 4.0, float(nz), dtype=np.float32)
+    w = NCWriter(tmp_path / "xytdump.949.nc", g)
+    for name in ("uxyt", "vxyt", "thlxyt", "qtxyt", "tketxyc"):
+        w.define(name, ("zt",), "")
+    prof = lambda v: np.full(nz, v)
+    for t, off in ((10.0, 0.0), (20.0, 1.0)):
+        w.append(t, {"uxyt": prof(2.0 + off), "vxyt": prof(0.1),
+                     "thlxyt": prof(300.0 + off), "qtxyt": prof(0.001),
+                     "tketxyc": prof(0.05)})
+    w.close()
+    assert update_prof_from_driver(tmp_path, "902", 949, tmp_path)
+    pr = np.loadtxt(tmp_path / "prof.inp.902", skiprows=2)
+    np.testing.assert_allclose(pr[:, 3], 3.0, rtol=1e-5)   # last slice
+    np.testing.assert_allclose(pr[:, 1], 301.0, rtol=1e-5)
+    # explicit time index picks the first slice
+    update_prof_from_driver(tmp_path, "902", 949, tmp_path,
+                            drivertimeidx=0)
+    pr = np.loadtxt(tmp_path / "prof.inp.902", skiprows=2)
+    np.testing.assert_allclose(pr[:, 3], 2.0, rtol=1e-5)

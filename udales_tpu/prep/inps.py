@@ -111,6 +111,15 @@ def prep_config_from_namoptions(nam_path: str | Path):
 
     stl = inps.get("stl_file")
     extras = {
+        "driver": (dict(jobnr=int(inps.get("driverjobnr",
+                                           _get(g, "DRIVER", "driverjobnr",
+                                                0))),
+                        outpath=str(inps.get("driveroutpath", ".")),
+                        timeidx=(int(inps["drivertimeidx"])
+                                 if "drivertimeidx" in inps else None))
+                   if int(inps.get("idriver",
+                                   _get(g, "DRIVER", "idriver", 0))) == 2
+                   else None),
         "nsv": int(_get(g, "SCALARS", "nsv", 0)),
         "sv0": [float(inps.get(f"sv{n}0", 0.0)) for n in range(1, 6)],
         "lzstretch": bool(inps.get("lzstretch", False)),
@@ -164,7 +173,53 @@ def prepare_from_case(case_dir: str | Path, outdir: str | Path | None = None,
     from .prep import prepare_case
     counts = prepare_case(case_dir / stl, outdir, cfg, extras=extras)
     _patch_walls_namelist(nam, outdir / nam.name, counts)
+    # driven cases (idriver=2): initialize the profiles from the
+    # precursor's slab statistics so the initial state matches the inflow
+    # (udprep_forcing.py:155-210 update_prof_from_driver)
+    drv = extras.get("driver")
+    if drv is not None:
+        update_prof_from_driver(outdir, cfg.expnr, drv["jobnr"],
+                                drv["outpath"], drv.get("timeidx"))
     return counts
+
+
+def update_prof_from_driver(case_dir: str | Path, expnr: str,
+                            driverjobnr: int, driveroutpath: str | Path,
+                            drivertimeidx: int | None = None) -> bool:
+    """Overwrite prof.inp's thl/qt/u/v/tke columns with the precursor's
+    xytdump slab profiles (udprep_forcing.py update_prof_from_driver).
+    Returns False (leaving prof.inp untouched, with a warning) when the
+    precursor output is missing — the reference's behaviour."""
+    import warnings
+
+    import numpy as np
+    case_dir = Path(case_dir)
+    prof_p = case_dir / f"prof.inp.{expnr}"
+    if not prof_p.exists():
+        raise FileNotFoundError(f"{prof_p} not found for driver update")
+    xyt = Path(driveroutpath) / f"xytdump.{int(driverjobnr):03d}.nc"
+    if not xyt.exists():
+        warnings.warn(f"Driver output {xyt} not found; prof.inp kept",
+                      stacklevel=2)
+        return False
+    from scipy.io import netcdf_file
+    with netcdf_file(str(xyt), "r", mmap=False) as f:
+        data = {k: np.array(v[:]) for k, v in f.variables.items()
+                if k in ("uxyt", "vxyt", "thlxyt", "qtxyt", "tketxyc")}
+    nt = data["uxyt"].shape[0]
+    idx = (drivertimeidx if drivertimeidx is not None
+           and 0 <= drivertimeidx < nt else nt - 1)
+    pr = np.loadtxt(prof_p, skiprows=2)
+    hdr = prof_p.read_text().splitlines()[:2]
+    pr[:, 1] = data["thlxyt"][idx]
+    pr[:, 2] = data["qtxyt"][idx]
+    pr[:, 3] = data["uxyt"][idx]
+    pr[:, 4] = data["vxyt"][idx]
+    pr[:, 5] = np.maximum(data["tketxyc"][idx], 0.0)
+    with open(prof_p, "w") as f:
+        f.write("\n".join(hdr) + "\n")
+        np.savetxt(f, pr, fmt="%14.6e")
+    return True
 
 
 def _patch_walls_namelist(nam_in: Path, nam_out: Path, counts: dict):
