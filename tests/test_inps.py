@@ -199,3 +199,47 @@ def test_update_prof_from_driver(tmp_path):
                             drivertimeidx=0)
     pr = np.loadtxt(tmp_path / "prof.inp.902", skiprows=2)
     np.testing.assert_allclose(pr[:, 3], 2.0, rtol=1e-5)
+
+
+def test_tfacinit_layers_from_fact(tmp_path):
+    """write_Tfacinit_layers: last time slice of a previous run's facT.nc,
+    both axis layouts (udprep_seb.py write_Tfacinit_layers)."""
+    import numpy as np
+    from udales_tpu.io.netcdf import NCWriter
+    from udales_tpu.prep.prep import write_tfacinit_layers
+    nfcts, L = 6, 4
+    w = NCWriter(tmp_path / "facT.901.nc", nfcts=nfcts, nlayers=L)
+    w.define("T", ("facet", "layer"), "K")
+    for t, off in ((1.0, 0.0), (2.0, 5.0)):
+        w.append(t, {"T": 290.0 + off
+                     + np.arange(nfcts * L).reshape(nfcts, L)})
+    w.close()
+    write_tfacinit_layers(tmp_path, "902", tmp_path / "facT.901.nc",
+                          nfcts, 3)
+    out = np.loadtxt(tmp_path / "Tfacinit_layers.inp.902", skiprows=1)
+    assert out.shape == (nfcts, 3)
+    want = 295.0 + np.arange(nfcts * L).reshape(nfcts, L)[:, :3]
+    np.testing.assert_allclose(out, want, atol=1e-3)
+
+
+def test_iwallmom_sanity_switch(tmp_path):
+    """iwallmom=2 without an evolved temperature flips to neutral (3)
+    in the regenerated namoptions (udprep_seb.py:27-37)."""
+    import re
+    import shutil
+    import warnings as _w
+    from udales_tpu.prep.inps import prepare_from_case
+    src = REF101
+    dst = tmp_path / "case"
+    dst.mkdir()
+    shutil.copy(src / "geom.101.STL", dst / "geom.101.STL")
+    nam = (src / "namoptions.101").read_text()
+    nam = nam.replace("ltempeq      = .true.", "ltempeq      = .false.")
+    nam = nam.replace("iwalltemp    = 2", "iwallmom = 2\niwalltemp    = 2")
+    (dst / "namoptions.101").write_text(nam)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        prepare_from_case(dst, outdir=dst)
+    assert any("neutral wall function" in str(r.message) for r in rec)
+    out = (dst / "namoptions.101").read_text()
+    assert re.search(r"iwallmom\s*=\s*3", out)

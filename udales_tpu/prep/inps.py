@@ -81,6 +81,15 @@ def prep_config_from_namoptions(nam_path: str | Path):
         elif isolar == 3:
             updates["weather_file"] = str(
                 inps.get("weatherfname", "weather.txt"))
+    if bool(inps.get("lfactlyrs", _get(g, "ENERGYBALANCE", "lfactlyrs",
+                                        False))):
+        updates["lfacTlyrs"] = True
+        if inps.get("fact_file"):
+            fp = Path(str(inps["fact_file"]))
+            updates["facT_file"] = str(fp if fp.is_absolute()
+                                       else nam_path.parent / fp)
+    if "nfaclyrs" in inps:
+        updates["nfaclyrs"] = int(inps["nfaclyrs"])
     for flag in ("lprofforc", "lcoriol"):
         if bool(inps.get(flag, False)):
             updates[flag] = True
@@ -173,6 +182,21 @@ def prepare_from_case(case_dir: str | Path, outdir: str | Path | None = None,
     from .prep import prepare_case
     counts = prepare_case(case_dir / stl, outdir, cfg, extras=extras)
     _patch_walls_namelist(nam, outdir / nam.name, counts)
+    # sanity switch (udprep_seb.py:27-37): a stability momentum wall
+    # function needs an evolved air temperature and a facet temperature
+    import re
+    import warnings as _w
+    text = (outdir / nam.name).read_text()
+    iwm = re.search(r"iwallmom\s*=\s*(\d+)", text)
+    iwt = re.search(r"iwalltemp\s*=\s*(\d+)", text)
+    ltq = bool(_get(parse_namelists(text), "PHYSICS", "ltempeq", False))
+    if iwm and int(iwm.group(1)) == 2 and (
+            not ltq or (iwt and int(iwt.group(1)) == 1)):
+        _w.warn("Changing to neutral wall function: iwallmom=2 requires "
+                "an evolved air temperature and a facet wall temperature; "
+                "setting iwallmom=3 (udprep_seb.py:27)", stacklevel=2)
+        (outdir / nam.name).write_text(
+            re.sub(r"(iwallmom\s*=\s*)\d+", r"\g<1>3", text))
     # driven cases (idriver=2): initialize the profiles from the
     # precursor's slab statistics so the initial state matches the inflow
     # (udprep_forcing.py:155-210 update_prof_from_driver)

@@ -85,6 +85,11 @@ class PrepConfig:
     trees_file: str | None = None
     # weather-series shortwave (udprep isolar=3): path to a measured series
     weather_file: str | None = None
+    # layered initial facet temperatures from a previous run's facT.nc
+    # (udprep SEBSection write_Tfacinit_layers)
+    lfacTlyrs: bool = False
+    facT_file: str | None = None
+    nfaclyrs: int = 3
     # per-facet wall types from a file (udprep read_types/types_path)
     types_file: str | None = None
     # stretched vertical grid (udprep GridSection; prep/zgrid.py)
@@ -144,10 +149,14 @@ def prepare_case(stl_path: str | Path, outdir: str | Path,
             for row in DEFAULT_FACTYPES:
                 f.write(" ".join(f"{v:g}" for v in row) + "\n")
     nfcts = counts["nfcts"]
-    with open(outdir / f"Tfacinit.inp.{cfg.expnr}", "w") as f:
-        f.write("# initial facet temperature\n")
-        for _ in range(nfcts):
-            f.write(f"{cfg.facT0:.2f}\n")
+    if cfg.lfacTlyrs and cfg.facT_file:
+        write_tfacinit_layers(outdir, cfg.expnr, cfg.facT_file, nfcts,
+                              cfg.nfaclyrs)
+    else:
+        with open(outdir / f"Tfacinit.inp.{cfg.expnr}", "w") as f:
+            f.write("# initial facet temperature\n")
+            for _ in range(nfcts):
+                f.write(f"{cfg.facT0:.2f}\n")
 
     # profiles; the thl lapse integrates over the (possibly stretched)
     # half-level spacings (udprep_forcing.py:59-65)
@@ -346,3 +355,32 @@ def make_box_array_stl(path: str | Path, nbx: int, nby: int, frac: float,
     arr = np.asarray(tris, np.float64)
     write_stl(path, arr)
     return arr
+
+
+def write_tfacinit_layers(outdir: str | Path, expnr: str,
+                          facT_file: str | Path, nfcts: int,
+                          nfaclyrs: int):
+    """Tfacinit_layers.inp from a previous run's facT output (udprep
+    SEBSection write_Tfacinit_layers): the last time slice of the "T"
+    variable, accepting either the (nt, nfcts, nlayers) layout this
+    framework writes or the (nfcts, nlayers, nt) layout the reference
+    slices with Tfac[:, :, -1]."""
+    from scipy.io import netcdf_file
+    with netcdf_file(str(facT_file), "r", mmap=False) as f:
+        if "T" not in f.variables:
+            raise ValueError(f"{facT_file} missing variable 'T'")
+        T = np.array(f.variables["T"][:])
+    if T.ndim != 3:
+        raise ValueError(f"facT 'T' must be 3-D, got shape {T.shape}")
+    if T.shape[1] == nfcts:
+        Tl = T[-1]                    # (nt, nfcts, L) -> last time
+    elif T.shape[0] == nfcts:
+        Tl = T[:, :, -1]              # (nfcts, L, nt) -> last time
+    else:
+        raise ValueError(f"facT 'T' shape {T.shape} does not carry "
+                         f"nfcts={nfcts} facets")
+    Tl = Tl[:, :nfaclyrs]
+    p = Path(outdir) / f"Tfacinit_layers.inp.{expnr}"
+    with open(p, "w") as f:
+        f.write("# Initial facet temperatures in radiative equilibrium\n")
+        np.savetxt(f, Tl, fmt="%.4f")
