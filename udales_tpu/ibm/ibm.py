@@ -562,6 +562,40 @@ class IBM:
         self.pmask_w = jnp.concatenate(
             [mw, jnp.ones_like(mw[:, :, :1])], axis=2)
 
+        # --- z-major mask slabs for ibmnorm (solid_fill / advec corr) ----
+        # Solids only exist up to the tallest building; like the wall-fn
+        # stacks, these stencils are computed on a z-major slab
+        # (kz, ny, nx) with periodic x/y as lane/sublane ROLLS (wrap pads
+        # would grow the lane dim 130 -> 256).  kz covers every non-fluid
+        # point + 1 neighbour row.
+        nz = self.grid.ktot
+        solid_k = []
+        for m in (self.masks.c, self.masks.u, self.masks.v, self.masks.w):
+            s = np.asarray(m) < 0.5
+            solid_k.append(int(np.argwhere(s)[:, 2].max()) if s.any()
+                           else -1)
+        kzs = max(solid_k) + 2
+        if 0 < kzs <= nz - 1:
+            self._kz_slab = kzs
+            T = lambda a: jnp.transpose(a, (2, 1, 0))
+            # c-mask slab with bottom ghost row (solid) + cells 0..kzs
+            Mc = self.masks.c
+            self._slab_Mc = jnp.concatenate(
+                [jnp.zeros((1, Mc.shape[1], Mc.shape[0]), Mc.dtype),
+                 T(Mc[:, :, : kzs + 1])], axis=0)
+            Mu = self.masks.u
+            self._slab_Mu = jnp.concatenate(
+                [jnp.zeros((1, Mu.shape[1], Mu.shape[0]), Mu.dtype),
+                 T(Mu[:, :, : kzs + 1])], axis=0)
+            Mv = self.masks.v
+            self._slab_Mv = jnp.concatenate(
+                [jnp.zeros((1, Mv.shape[1], Mv.shape[0]), Mv.dtype),
+                 T(Mv[:, :, : kzs + 1])], axis=0)
+            # w faces 0..kzs+1 (face kzs+1 exists since kzs <= nz-1)
+            self._slab_Mw = T(self.masks.w[:, :, : kzs + 2])
+        else:
+            self._kz_slab = None
+
     # ------------------------------------------------------------------
     # Initial conditions
     # ------------------------------------------------------------------
@@ -1398,7 +1432,49 @@ class IBM:
     def solid_fill(self, var, rhs, val):
         """`solid` with a mask (modibm.f90:748-826): set solid cells to the
         average of their fluid neighbours (both the value and the tendency),
-        or to `val` when fully enclosed."""
+        or to `val` when fully enclosed.  Computed on the z-major building
+        slab with x/y rolls when possible (see _prep_pmasks); above the
+        slab every cell is fluid and the fill is the identity."""
+        kzs = getattr(self, "_kz_slab", None)
+        if kzs is not None:
+            return self._solid_fill_slab(var, rhs, val, kzs)
+        return self._solid_fill_full(var, rhs, val)
+
+    def _solid_fill_slab(self, var, rhs, val, kzs):
+        Mg = self._slab_Mc                      # (kzs+2, ny, nx)
+        # rows: [bottom ghost] + cells 0..kzs; interior output rows 1..kzs
+        mk = lambda f: jnp.transpose(
+            jnp.concatenate([f[:, :, :1], f[:, :, : kzs + 1]], axis=2),
+            (2, 1, 0))
+        sN = lambda a, dk, dj, di: jnp.roll(
+            a, (-dj, -di), axis=(1, 2))[1 + dk: 1 + dk + kzs]
+
+        def navg_t(ft):
+            tot = (sN(ft, 0, 0, 1) * sN(Mg, 0, 0, 1)
+                   + sN(ft, 0, 0, -1) * sN(Mg, 0, 0, -1)
+                   + sN(ft, 0, 1, 0) * sN(Mg, 0, 1, 0)
+                   + sN(ft, 0, -1, 0) * sN(Mg, 0, -1, 0)
+                   + sN(ft, 1, 0, 0) * sN(Mg, 1, 0, 0)
+                   + sN(ft, -1, 0, 0) * sN(Mg, -1, 0, 0))
+            cnt = (sN(Mg, 0, 0, 1) + sN(Mg, 0, 0, -1)
+                   + sN(Mg, 0, 1, 0) + sN(Mg, 0, -1, 0)
+                   + sN(Mg, 1, 0, 0) + sN(Mg, -1, 0, 0))
+            return tot, cnt
+
+        vt, rt = mk(var), mk(rhs)
+        tot_v, cnt = navg_t(vt)
+        tot_r, _ = navg_t(rt)
+        fill_v = jnp.where(cnt > 0, tot_v / jnp.maximum(cnt, 1.0), val)
+        fill_r = jnp.where(cnt > 0, tot_r / jnp.maximum(cnt, 1.0), 0.0)
+        Ms = Mg[1: 1 + kzs]
+        var_s = jnp.where(Ms > 0.5, vt[1: 1 + kzs], fill_v)
+        rhs_s = jnp.where(Ms > 0.5, rt[1: 1 + kzs], fill_r)
+        back = lambda fs, f: jnp.concatenate(
+            [jnp.transpose(fs, (2, 1, 0)).astype(f.dtype),
+             f[:, :, kzs:]], axis=2)
+        return back(var_s, var), back(rhs_s, rhs)
+
+    def _solid_fill_full(self, var, rhs, val):
         M = self.masks.c
         Mp = self.pmask_c
 
@@ -1462,7 +1538,97 @@ class IBM:
             dsv = jnp.stack(dsv_list)
         return du, dv, dw, dthl, dqt, dsv, m_new
 
+
+    # --- z-major slab helpers for the advec corrections ---------------
+    def _slab_ctx(self, var, c, grid, kzs):
+        """Common transposed-slab views: var with ghost rows, velocity
+        faces, and the z metric columns."""
+        T = lambda a: jnp.transpose(a, (2, 1, 0))
+        vg = T(jnp.concatenate([var[:, :, :1], var[:, :, : kzs + 1]],
+                               axis=2))                  # (kzs+2, ny, nx)
+        sV = lambda dk, dj, di: jnp.roll(
+            vg, (-dj, -di), axis=(1, 2))[1 + dk: 1 + dk + kzs]
+        ut = T(c.u[:, :, :kzs])
+        vt = T(c.v[:, :, :kzs])
+        w_dn = T(c.w[:, :, :kzs])
+        w_up = T(c.w[:, :, 1: kzs + 1])
+        kT = lambda name, lo: jnp.asarray(grid.j(name))[lo: lo + kzs][
+            :, None, None]
+        return vg, sV, ut, vt, w_dn, w_up, kT
+
+    def _slab_back(self, corr_s, shape_like):
+        out = jnp.transpose(corr_s, (2, 1, 0)).astype(shape_like.dtype)
+        pad = shape_like.shape[2] - out.shape[2]
+        return jnp.pad(out, ((0, 0), (0, 0), (0, pad)))
+
     def _advecc2nd_corr_conservative(self, var, c, grid: Grid):
+        kzs = getattr(self, "_kz_slab", None)
+        if kzs is None:
+            return self._advecc2nd_corr_conservative_full(var, c, grid)
+        Mg, Mu, Mv, Mw = (self._slab_Mc, self._slab_Mu, self._slab_Mv,
+                          self._slab_Mw)
+        sM = lambda M, dk, dj, di: jnp.roll(
+            M, (-dj, -di), axis=(1, 2))[1 + dk: 1 + dk + kzs]
+        vg, sV, ut, vt, w_dn, w_up, kT = self._slab_ctx(var, c, grid, kzs)
+        vc = vg[1: 1 + kzs]
+        u_ip = jnp.roll(ut, -1, axis=2)
+        v_jp = jnp.roll(vt, -1, axis=1)
+        blk_e = 1.0 - sM(Mu, 0, 0, 1) * sM(Mg, 0, 0, 1)
+        blk_w = 1.0 - sM(Mu, 0, 0, 0) * sM(Mg, 0, 0, -1)
+        blk_n = 1.0 - sM(Mv, 0, 1, 0) * sM(Mg, 0, 1, 0)
+        blk_s = 1.0 - sM(Mv, 0, 0, 0) * sM(Mg, 0, -1, 0)
+        blk_t = 1.0 - Mw[1: 1 + kzs] * sM(Mg, 1, 0, 0)
+        blk_b = 1.0 - Mw[0: kzs] * sM(Mg, -1, 0, 0)
+        dzf_k = kT("dzf_g", 1); dzf_kp = kT("dzf_g", 2)
+        dzf_km = kT("dzf_g", 0)
+        dzhi_k = kT("dzhi", 0); dzhi_kp = kT("dzhi", 1)
+        dzfi5 = kT("dzfi5", 0)
+        corr = (
+            blk_e * u_ip * (sV(0, 0, 1) + vc) * grid.dxi5
+            - blk_w * ut * (sV(0, 0, -1) + vc) * grid.dxi5
+            + blk_n * v_jp * (sV(0, 1, 0) + vc) * grid.dyi5
+            - blk_s * vt * (sV(0, -1, 0) + vc) * grid.dyi5
+            + blk_t * w_up
+            * (sV(1, 0, 0) * dzf_k + vc * dzf_kp) * dzhi_kp * dzfi5
+            - blk_b * w_dn
+            * (sV(-1, 0, 0) * dzf_k + vc * dzf_km) * dzhi_k * dzfi5
+        )
+        return self._slab_back(corr * Mg[1: 1 + kzs], var)
+
+    def _advecc2nd_corr_liberal(self, var, c, grid: Grid):
+        kzs = getattr(self, "_kz_slab", None)
+        if kzs is None:
+            return self._advecc2nd_corr_liberal_full(var, c, grid)
+        Mg = self._slab_Mc
+        sol = lambda dk, dj, di: 1.0 - jnp.roll(
+            Mg, (-dj, -di), axis=(1, 2))[1 + dk: 1 + dk + kzs]
+        vg, sV, ut, vt, w_dn, w_up, kT = self._slab_ctx(var, c, grid, kzs)
+        vc = vg[1: 1 + kzs]
+        u_ip = jnp.roll(ut, -1, axis=2)
+        v_jp = jnp.roll(vt, -1, axis=1)
+        dzf_k = kT("dzf_g", 1); dzf_kp = kT("dzf_g", 2)
+        dzf_km = kT("dzf_g", 0)
+        dzhi_k = kT("dzhi", 0); dzhi_kp = kT("dzhi", 1)
+        dzfi5 = kT("dzfi5", 0)
+        corr = (
+            sol(0, 0, 1) * u_ip * ((sV(0, 0, 1) + vc) - (vc + vc))
+            * grid.dxi5
+            - sol(0, 0, -1) * ut * ((sV(0, 0, -1) + vc) - (vc + vc))
+            * grid.dxi5
+            + sol(0, 1, 0) * v_jp * ((sV(0, 1, 0) + vc) - (vc + vc))
+            * grid.dyi5
+            - sol(0, -1, 0) * vt * ((sV(0, -1, 0) + vc) - (vc + vc))
+            * grid.dyi5
+            + sol(1, 0, 0) * w_up
+            * ((sV(1, 0, 0) * dzf_k + vc * dzf_kp)
+               - (vc * dzf_k + vc * dzf_kp)) * dzhi_kp * dzfi5
+            - sol(-1, 0, 0) * w_dn
+            * ((sV(-1, 0, 0) * dzf_k + vc * dzf_km)
+               - (vc * dzf_k + vc * dzf_km)) * dzhi_k * dzfi5
+        )
+        return self._slab_back(corr * Mg[1: 1 + kzs], var)
+
+    def _advecc2nd_corr_conservative_full(self, var, c, grid: Grid):
         """advecc2nd_corr_conservative (modibm.f90:889-933): remove the cd2
         advective flux through any face whose face velocity or neighbouring
         cell is solid. Unlike the liberal variant nothing is substituted, so
@@ -1515,7 +1681,7 @@ class IBM:
         )
         return corr * self.masks.c
 
-    def _advecc2nd_corr_liberal(self, var, c, grid: Grid):
+    def _advecc2nd_corr_liberal_full(self, var, c, grid: Grid):
         """advecc2nd_corr_liberal (modibm.f90:936-987): replace the cd2
         advective flux through faces with a solid neighbour by the zero-flux
         (var_solid := var_here) variant. Dense over all cells; restricted to
