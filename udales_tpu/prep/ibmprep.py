@@ -102,10 +102,13 @@ def _cell_box(gp: GridPoints, grid: Grid, i, j, k):
 
 
 class IBMPreproc:
-    def __init__(self, grid: Grid, tris: np.ndarray, normals: np.ndarray):
+    def __init__(self, grid: Grid, tris: np.ndarray, normals: np.ndarray,
+                 stl_ground: bool = True, diag_neighbs: bool = True):
         self.grid = grid
         self.tris = tris
         self.normals = normals
+        self.stl_ground = stl_ground
+        self.diag_neighbs = diag_neighbs
         self.gps = staggered_grids(grid)
         # periodic images: facets touching the x/y domain boundaries also
         # act on points at the opposite edge (e.g. a wall on y=ylen covers
@@ -155,9 +158,11 @@ class IBMPreproc:
             self.use_native = False
 
     @classmethod
-    def from_stl(cls, stl_path, grid: Grid, use_native: bool | None = None):
+    def from_stl(cls, stl_path, grid: Grid, use_native: bool | None = None,
+                 stl_ground: bool = True, diag_neighbs: bool = True):
         tris, normals = read_stl(stl_path)
-        obj = cls(grid, tris, normals)
+        obj = cls(grid, tris, normals, stl_ground=stl_ground,
+                  diag_neighbs=diag_neighbs)
         if use_native is not None:
             obj.use_native = use_native
         return obj
@@ -183,27 +188,50 @@ class IBMPreproc:
         """(ns,3) 0-based solid point indices for one staggered grid."""
         return np.argwhere(self.solid_mask(which))
 
+    def class_mask(self, which: str) -> np.ndarray:
+        """Solid mask used for boundary CLASSIFICATION (not for writing
+        solid_*.txt): with stl_ground, the w-grid z=0 plane always counts
+        as solid (boundaryMasking.f90:53-60 'Bottom is always solid for
+        w'), so bottom-cell sections and boundary status move to the w
+        points one level up — the shipped inputs (e.g. 201, whose ground
+        STL leaves 2461 columns uncovered) encode exactly this."""
+        m = self.solid_mask(which)
+        if which == "w" and self.stl_ground:
+            m = m.copy()
+            m[:, :, 0] = True
+        return m
+
     # -- boundary points ---------------------------------------------------
     @staticmethod
-    def boundary_points(solid: np.ndarray) -> np.ndarray:
-        """Fluid points with a solid neighbour in the full 26-neighbourhood
-        (the committed reference inputs include corner-diagonal neighbours of
-        building edges); below-domain counts solid, above-domain fluid, x/y
-        periodic. (nb,3) 0-based, lexicographic."""
+    def boundary_points(solid: np.ndarray, diag: bool = True,
+                        below_solid: bool = True,
+                        exclude_k0: bool = False) -> np.ndarray:
+        """Fluid points with a solid neighbour — 6-neighbourhood, plus the
+        corner diagonals when `diag` (the reference's diag_neighbs, default
+        true in udprep defaults.json); x/y periodic, above-domain fluid.
+        `below_solid` pads below the domain as solid (== the reference's
+        stl_ground forcing of the whole lowest u/v/c level into fluid_IB,
+        boundaryMasking.f90:70-75).  `exclude_k0` drops the z=0 plane from
+        the result (the w grid: 'fluid_IB(:,:,1)=.false.',
+        boundaryMasking.f90:62).  (nb,3) 0-based, lexicographic."""
         s = solid
-        # pad z: below floor solid, above top fluid
-        sz = np.concatenate(
-            [np.ones_like(s[:, :, :1]), s, np.zeros_like(s[:, :, :1])],
-            axis=2)
+        below = np.ones_like if below_solid else np.zeros_like
+        sz = np.concatenate([below(s[:, :, :1]), s,
+                             np.zeros_like(s[:, :, :1])], axis=2)
         nbr = np.zeros_like(s)
         for di in (-1, 0, 1):
             for dj in (-1, 0, 1):
                 for dk in (-1, 0, 1):
                     if di == dj == dk == 0:
                         continue
+                    if not diag and (di != 0) + (dj != 0) + (dk != 0) > 1:
+                        continue
                     sh = np.roll(np.roll(sz, di, axis=0), dj, axis=1)
                     nbr |= sh[:, :, 1 + dk: 1 + dk + s.shape[2]]
-        return np.argwhere(nbr & ~s)
+        out = nbr & ~s
+        if exclude_k0:
+            out[:, :, 0] = False
+        return np.argwhere(out)
 
     # -- facet cuts & sections --------------------------------------------
     def cut_sections(self, which: str, fluid: np.ndarray,
@@ -296,8 +324,17 @@ class IBMPreproc:
         sections since the floor lies outside every w control volume).
         Returns (bnd (nb,3) sorted, section rows (facid, area, bnd_id,
         dist))."""
-        solid = self.solid_mask(which)
-        nbr_bnd = self.boundary_points(solid)
+        solid_cls = self.class_mask(which)
+        nbr_bnd = self.boundary_points(
+            solid_cls, diag=self.diag_neighbs,
+            below_solid=self.stl_ground and which != "w",
+            exclude_k0=(which == "w"))
+        # section-eligible points: fluid per the classification mask, and
+        # never the bottom w plane (sections reassign upward there)
+        eligible = ~solid_cls
+        if which == "w":
+            eligible = eligible.copy()
+            eligible[:, :, 0] = False
         if self.use_native:
             from .native import cut_sections as native_cut
             gp = self.gps[which]
@@ -305,13 +342,13 @@ class IBMPreproc:
             axis = gp.dir_axis if gp.dir_axis is not None else -1
             fac, area, ijk, dist = native_cut(
                 self.tris_ext, self.norm_ext, self.facid_ext, boxes,
-                (gp.x, gp.y, gp.z), ~solid, axis)
+                (gp.x, gp.y, gp.z), eligible, axis)
             cuts = {}
             for f_, a_, (i, j, k), d_ in zip(fac, area, ijk, dist):
                 cuts.setdefault((int(i), int(j), int(k)), []).append(
                     (int(f_), float(a_), float(d_)))
         else:
-            cuts = self.cut_sections(which, ~solid)
+            cuts = self.cut_sections(which, eligible)
         keys = set(map(tuple, nbr_bnd)) | set(cuts.keys())
         bnd = np.asarray(sorted(keys), np.int64).reshape(-1, 3)
         bidx = {tuple(p): n for n, p in enumerate(map(tuple, bnd))}

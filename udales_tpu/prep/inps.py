@@ -60,6 +60,9 @@ def prep_config_from_namoptions(nam_path: str | Path):
     for nml_key, field in scalar_map.items():
         if nml_key in inps:
             updates[field] = float(inps[nml_key])
+    for flag in ("stl_ground", "diag_neighbs"):   # default true (udprep)
+        if flag in inps:
+            updates[flag] = bool(inps[flag])
     # udprep defaults differ from PrepConfig's standalone defaults
     # (tools/python/udprep/defaults.json: tke=0, u0=0, thl0=288, facT=288)
     updates.setdefault("e12", 0.0)

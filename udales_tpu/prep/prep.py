@@ -64,6 +64,9 @@ class PrepConfig:
     has_flow_forcing: bool = False   # any *outflowr/*volflowr/nudge switch
     floor_type: int = -1
     wall_type: int = 1
+    # IBM preprocessing flags (udprep defaults.json: both default true)
+    stl_ground: bool = True
+    diag_neighbs: bool = True
     # radiation
     with_radiation: bool = False
     zenith_deg: float = 45.0
@@ -119,7 +122,8 @@ def prepare_case(stl_path: str | Path, outdir: str | Path,
     else:
         grid = Grid.uniform(cfg.itot, cfg.jtot, cfg.ktot, cfg.xlen,
                             cfg.ylen, cfg.zsize, dtype=np.float64)
-    pp = IBMPreproc.from_stl(stl_path, grid)
+    pp = IBMPreproc.from_stl(stl_path, grid, stl_ground=cfg.stl_ground,
+                             diag_neighbs=cfg.diag_neighbs)
     facet_types = None
     if cfg.types_file is not None:
         # headerless or one-line-header list of per-facet type ids
