@@ -53,14 +53,19 @@ def measure_flat(n, nsteps):
 def _stage_urban(n):
     """Prep-generate (once, cached) an n^3 urban case: 4x4 aligned building
     array, lambda_p = 0.25, H = n/4 m, heated facets (iwalltemp=2)."""
-    case = CACHE / f"urban{n}"
+    case = CACHE / f"urban{n}v2"
     nam = case / "namoptions.900"
     if not nam.exists():
-        from udales_tpu.prep.prep import (PrepConfig, make_box_array_stl,
-                                          prepare_case)
+        from udales_tpu.prep.prep import PrepConfig, prepare_case
+        from udales_tpu.prep.udgeom import create_cubes
         case.mkdir(parents=True, exist_ok=True)
-        make_box_array_stl(case / "geom.stl", 4, 4, 0.5, n / 4.0,
-                           float(n), float(n))
+        # canonical aligned-array generator (udgeom create_cubes 'AC'):
+        # 4x4 cubes, lambda_p = 0.25, H = n/4 — same buildings as the
+        # former ad-hoc make_box_array_stl (test_udgeom pins the match)
+        pitch = n / 4.0
+        create_cubes(float(n), float(n), pitch / 2, pitch / 2, pitch,
+                     pitch / 2, pitch / 2, "AC",
+                     edgelength=pitch / 2).save(case / "geom.stl")
         counts = prepare_case(case / "geom.stl", case, PrepConfig(
             itot=n, jtot=n, ktot=n, xlen=float(n), ylen=float(n),
             zsize=float(n), expnr="900", u0=1.5, thl0=290.0, facT0=295.0))

@@ -171,6 +171,13 @@ class IBM:
         self.bndpts_c = bndpts_c
         self.faclGR_dev = (np.asarray(faclGR, bool) if faclGR is not None
                            else np.zeros(self.nfcts, bool))
+        # profiling-only ablation switches (prof_urban.py): subsets of
+        # {"mom", "heat", "diffcorr", "fill", "advcorr", "masks"} skip the
+        # corresponding IBM term at TRACE time so a chained-scan A/B
+        # attributes the urban step cost term by term.  Never set in
+        # production; also settable via UDALES_ABLATE=term1,term2.
+        self.ablate = frozenset(
+            t for t in os.environ.get("UDALES_ABLATE", "").split(",") if t)
         self._prep()
 
     # ------------------------------------------------------------------
@@ -631,7 +638,7 @@ class IBM:
         zt = jnp.zeros((), c.u.dtype)
         hf_tot, ef_tot = zt, zt
         fstats = {} if need_facstats else None
-        if cfg.walls.iwallmom > 1:
+        if cfg.walls.iwallmom > 1 and "mom" not in self.ablate:
             if need_facstats:
                 # fac_tau_{x,y,z}: per-facet signed stress sums / facet area
                 for which, key in (("u", "tau_x"), ("v", "tau_y"),
@@ -663,10 +670,12 @@ class IBM:
                         dv = dv + t
                     else:
                         dw = dw + t
-        du = du + self._diffu_corr(g, grid)
-        dv = dv + self._diffv_corr(g, grid)
-        dw = dw + self._diffw_corr(g, grid)
-        if cfg.physics.ltempeq or cfg.physics.lmoist:
+        if "diffcorr" not in self.ablate:
+            du = du + self._diffu_corr(g, grid)
+            dv = dv + self._diffv_corr(g, grid)
+            dw = dw + self._diffw_corr(g, grid)
+        if (cfg.physics.ltempeq or cfg.physics.lmoist) \
+                and "heat" not in self.ablate:
             (hthl, hqt, hf_tot, ef_tot, fachf, facef,
              heat_slots) = self._wallfunheat_dense(
                 g, c, cfg, surf, dense, fac, bctf, need_fac,
@@ -688,9 +697,9 @@ class IBM:
                 if need_fac:
                     fachf = fachf + sfhf
                     facef = facef + sfef
-            if cfg.physics.ltempeq:
+            if cfg.physics.ltempeq and "diffcorr" not in self.ablate:
                 dthl = dthl + self._diffc_corr(g.thl, g.ekh, grid)
-            if cfg.physics.lmoist:
+            if cfg.physics.lmoist and "diffcorr" not in self.ablate:
                 dqt = dqt + self._diffc_corr(g.qt, g.ekh, grid)
         if dsv.shape[0] > 0:
             gsv1 = jax.vmap(lambda s: s[1:-1, 1:-1, 1:-1])(g.sv)
@@ -1510,25 +1519,33 @@ class IBM:
         tendencies, fill solid scalar cells, apply cd2 advection corrections.
         Returns updated tendencies and the masked m-fields."""
         import dataclasses
-        du = du * self.masks.u
-        dv = dv * self.masks.v
-        dw = dw * self.masks.w
-        m_new = dataclasses.replace(
-            m, u=m.u * self.masks.u, v=m.v * self.masks.v,
-            w=m.w * self.masks.w)
+        if "masks" not in self.ablate:
+            du = du * self.masks.u
+            dv = dv * self.masks.v
+            dw = dw * self.masks.w
+            m_new = dataclasses.replace(
+                m, u=m.u * self.masks.u, v=m.v * self.masks.v,
+                w=m.w * self.masks.w)
+        else:
+            m_new = m
+        dofill = "fill" not in self.ablate
+        docorr = "advcorr" not in self.ablate
         corr = (self._advecc2nd_corr_conservative
                 if cfg.physics.lconservativeibm
                 else self._advecc2nd_corr_liberal)
         if cfg.physics.ltempeq:
-            thlm, dthl = self.solid_fill(m.thl, dthl, thl0av_vmean)
-            m_new = dataclasses.replace(m_new, thl=thlm)
-            if cfg.iadv_thl == 2:  # cd2: advection correction
+            if dofill:
+                thlm, dthl = self.solid_fill(m.thl, dthl, thl0av_vmean)
+                m_new = dataclasses.replace(m_new, thl=thlm)
+            if cfg.iadv_thl == 2 and docorr:  # cd2: advection correction
                 dthl = dthl + corr(c.thl, c, grid)
         if cfg.physics.lmoist:
-            qtm, dqt = self.solid_fill(m.qt, dqt, 0.0)
-            m_new = dataclasses.replace(m_new, qt=qtm)
-            dqt = dqt + corr(c.qt, c, grid)
-        if dsv.shape[0] > 0:
+            if dofill:
+                qtm, dqt = self.solid_fill(m.qt, dqt, 0.0)
+                m_new = dataclasses.replace(m_new, qt=qtm)
+            if docorr:
+                dqt = dqt + corr(c.qt, c, grid)
+        if dsv.shape[0] > 0 and dofill:
             svm_list, dsv_list = [], []
             for n in range(dsv.shape[0]):
                 svm_n, dsv_n = self.solid_fill(m.sv[n], dsv[n], 0.0)
