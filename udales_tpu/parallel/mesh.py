@@ -62,6 +62,12 @@ def _leaf_spec(path, leaf) -> P:
         if nd == 2:
             return P("x", None)
         return P()
+    if "drv" in names:   # DriverWindow: rolling (W, ny, nz[+1]) planes
+        if nd == 3:      # shard the inlet plane along y, never the record
+            return P(None, "y", None)   # axis (W = chunkread_size)
+        if nd == 4:      # sv: (W, nsv, ny, nz)
+            return P(None, None, "y", None)
+        return P()       # t: (W,) replicated
     if "fac" in names and "dense" not in names:
         return P()      # per-facet arrays: replicate
     if "ctl" in names:
