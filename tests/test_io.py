@@ -21,7 +21,7 @@ class TestNetCDF:
         w.append(1.5, {"u": arr})
         w.append(2.5, {"u": arr * 2})
         w.close()
-        f = netcdf_file(str(tmp_path / "t.nc"), "r")
+        f = netcdf_file(str(tmp_path / "t.nc"), "r", mmap=False)
         assert list(f.variables["time"][:]) == [1.5, 2.5]
         got = f.variables["u"][0].transpose(2, 1, 0)
         np.testing.assert_allclose(got, arr.astype(np.float32), rtol=1e-6)
@@ -40,7 +40,7 @@ class TestNetCDF:
         fd = FieldDump(cfg, model.grid, tmp_path)
         fd.dump(state)
         fd.close()
-        f = netcdf_file(str(tmp_path / "fielddump.000.nc"), "r")
+        f = netcdf_file(str(tmp_path / "fielddump.000.nc"), "r", mmap=False)
         assert set(f.variables) >= {"u", "w", "thl", "time", "xt", "zm"}
         assert f.variables["u"].shape[1:] == (8, 12, 16)  # (zt, yt, xm)
 
@@ -59,7 +59,7 @@ class TestStats:
         xy.maybe_sample(state)
         xy.close()
         from scipy.io import netcdf_file
-        f = netcdf_file(str(tmp_path / "xytdump.000.nc"), "r")
+        f = netcdf_file(str(tmp_path / "xytdump.000.nc"), "r", mmap=False)
         u = f.variables["uxyt"][0]
         np.testing.assert_allclose(
             u, np.asarray(state.c.u).mean(axis=(0, 1)), rtol=1e-5)

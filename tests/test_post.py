@@ -134,3 +134,112 @@ class TestOutputsRoundtrip:
         assert np.allclose(seb["G"][:, 0], -lam1 * -2.0)
         avg = p0.area_average_seb(seb)
         assert np.isclose(avg["Kstar"][0], 100.0)
+
+
+class TestMergeStat:
+    """udstats.merge_stat semantics (udbase.merge_stat:1296)."""
+
+    def test_mean_only(self):
+        from udales_tpu.post import merge_stat
+        X = np.arange(12.0)
+        np.testing.assert_allclose(merge_stat(X, 4),
+                                   [1.5, 5.5, 9.5])
+
+    def test_incomplete_window_drops_oldest(self):
+        from udales_tpu.post import merge_stat
+        X = np.arange(10.0)   # 10 samples, n=4 -> drop the 2 OLDEST
+        np.testing.assert_allclose(merge_stat(X, 4), [3.5, 7.5])
+
+    def test_variance_law_of_total_variance(self):
+        """Merged variance must equal the population variance computed
+        directly from the raw samples when the short windows carry their
+        own variances."""
+        from udales_tpu.post import merge_stat
+        rng = np.random.default_rng(5)
+        raw = rng.standard_normal((3, 24))   # 24 raw samples per row
+        # short windows of 4 raw samples -> 6 short stats
+        short = raw.reshape(3, 6, 4)
+        Xs = short.mean(axis=-1)
+        XpXp = short.var(axis=-1)
+        # merge 3 short windows -> 2 long windows of 12 raw samples
+        Xm, var = merge_stat(Xs, XpXp, 3)
+        want_m = raw.reshape(3, 2, 12).mean(axis=-1)
+        want_v = raw.reshape(3, 2, 12).var(axis=-1)
+        np.testing.assert_allclose(Xm, want_m, rtol=1e-12)
+        np.testing.assert_allclose(var, want_v, rtol=1e-12)
+
+    def test_covariance_merging(self):
+        from udales_tpu.post import merge_stat
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal(24)
+        b = 0.5 * a + rng.standard_normal(24)
+        As = a.reshape(6, 4).mean(axis=-1)
+        Bs = b.reshape(6, 4).mean(axis=-1)
+        cov_s = ((a.reshape(6, 4) - As[:, None])
+                 * (b.reshape(6, 4) - Bs[:, None])).mean(axis=-1)
+        Am, Bm, cov = merge_stat(As, Bs, cov_s, 6)
+        np.testing.assert_allclose(Am, a.mean(), rtol=1e-12)
+        np.testing.assert_allclose(
+            cov, ((a - a.mean()) * (b - b.mean())).mean(), rtol=1e-12)
+
+    def test_keyword_forms_and_errors(self):
+        from udales_tpu.post import merge_stat
+        X = np.arange(8.0)
+        # keyword XpXp form
+        m, v = merge_stat(X, 4, XpXp=np.zeros(8))
+        np.testing.assert_allclose(m, [1.5, 5.5])
+        with pytest.raises(ValueError, match="positive"):
+            merge_stat(X, 0)
+        with pytest.raises(ValueError, match="Not enough"):
+            merge_stat(X, 9)
+        with pytest.raises(ValueError, match="last dimension"):
+            merge_stat(X, 4, XpXp=np.zeros(5))
+
+
+class TestCoarsegrainField:
+    def test_uniform_field_unchanged(self):
+        from udales_tpu.post import coarsegrain_field
+        v = np.full((8, 8, 3), 2.5)
+        xm = np.arange(8) * 1.0
+        out = coarsegrain_field(v, [4.0], xm, xm)
+        assert out.shape == (8, 8, 3, 1)
+        np.testing.assert_allclose(out[..., 0], 2.5, rtol=1e-12)
+
+    def test_matches_direct_periodic_box_average(self):
+        from udales_tpu.post import coarsegrain_field
+        rng = np.random.default_rng(11)
+        nx = ny = 12
+        v = rng.standard_normal((nx, ny, 2))
+        dx = 2.0
+        xm = np.arange(nx) * dx
+        L = 8.0                      # half-width = round((L/dx)/2) = 2
+        out = coarsegrain_field(v, L, xm, xm)
+        ng = 2
+        want = np.zeros_like(v)
+        for i in range(nx):
+            for j in range(ny):
+                acc = []
+                for di in range(-ng, ng + 1):
+                    for dj in range(-ng, ng + 1):
+                        acc.append(v[(i + di) % nx, (j + dj) % ny])
+                want[i, j] = np.mean(acc, axis=0)
+        np.testing.assert_allclose(out[..., 0], want, atol=1e-12)
+
+    def test_mean_preserved_multiple_filters(self):
+        from udales_tpu.post import coarsegrain_field
+        rng = np.random.default_rng(13)
+        v = rng.standard_normal((16, 16, 4))
+        xm = np.arange(16) * 0.5
+        out = coarsegrain_field(v, [1.0, 4.0], xm, xm)
+        assert out.shape[-1] == 2
+        for i in range(2):
+            np.testing.assert_allclose(out[..., i].mean(axis=(0, 1)),
+                                       v.mean(axis=(0, 1)), atol=1e-12)
+            # larger filters remove more variance
+        assert out[..., 1].var() < out[..., 0].var() <= v.var()
+
+    def test_validation(self):
+        from udales_tpu.post import coarsegrain_field
+        with pytest.raises(ValueError, match="3D"):
+            coarsegrain_field(np.zeros((4, 4)), 1.0, np.arange(4),
+                              np.arange(4))

@@ -137,7 +137,7 @@ class TestVariableSupersets:
         # alias pairs must be numerically identical; the budget terms
         # finite
         from scipy.io import netcdf_file
-        f = netcdf_file(d.writer.path, "r")
+        f = netcdf_file(d.writer.path, "r", mmap=False)
         data = {k: np.asarray(v[:]) for k, v in f.variables.items()}
         for a, b in (("p_b", "buoy"), ("t_p", "ptrans"), ("t_t", "ttrans"),
                      ("p_t", "shear")):

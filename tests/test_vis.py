@@ -82,3 +82,82 @@ def test_profiles_and_lscale_and_dz(post, tmp_path):
 def test_missing_backend_raises(post):
     with pytest.raises((ImportError, NotImplementedError)):
         post.vis.show_geometry(backend="pyvista")
+
+
+class TestPlotlyBackend:
+    """The plotly backend renders the same Scene primitives; exercised
+    through a recording stub since plotly is not bundled in this image."""
+
+    def _stub(self, monkeypatch):
+        import sys
+        import types
+        calls = {"traces": [], "layout": []}
+
+        def trace(kind):
+            def make(**kw):
+                calls["traces"].append((kind, kw))
+                return (kind, kw)
+            return make
+
+        class Figure:
+            def __init__(self, data=None):
+                self.data = data or []
+
+            def update_layout(self, **kw):
+                calls["layout"].append(kw)
+
+        go = types.ModuleType("plotly.graph_objects")
+        go.Mesh3d = trace("mesh3d")
+        go.Scatter3d = trace("scatter3d")
+        go.Cone = trace("cone")
+        go.Figure = Figure
+        plotly = types.ModuleType("plotly")
+        plotly.graph_objects = go
+        monkeypatch.setitem(sys.modules, "plotly", plotly)
+        monkeypatch.setitem(sys.modules, "plotly.graph_objects", go)
+        return calls
+
+    def _scene(self):
+        from udales_tpu.vis import (LineSet, MeshPrimitive, PointSet,
+                                    Scene)
+        verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                          [0, 0, 1]], float)
+        faces = np.array([[0, 1, 2], [0, 2, 3], [0, 1, 4]])
+        sc = Scene(title="t")
+        sc.meshes.append(MeshPrimitive(verts, faces,
+                                       face_values=np.array([1., 2., 3.])))
+        sc.meshes.append(MeshPrimitive(verts, faces, solid_color="#888888"))
+        sc.lines.append(LineSet(verts, np.array([[0, 1], [1, 2]])))
+        sc.points.append(PointSet(verts[:2]))
+        return sc
+
+    def test_traces_built(self, monkeypatch):
+        from udales_tpu.vis import render_scene
+        calls = self._stub(monkeypatch)
+        fig = render_scene(self._scene(), backend="plotly")
+        kinds = [k for k, _ in calls["traces"]]
+        assert kinds.count("mesh3d") == 2
+        assert kinds.count("scatter3d") == 2   # lines + points
+        mesh_kw = calls["traces"][0][1]
+        np.testing.assert_allclose(mesh_kw["intensity"], [1.0, 2.0, 3.0])
+        assert mesh_kw["intensitymode"] == "cell"
+        assert calls["traces"][1][1].get("color") == "#888888"
+        # aspectmode data + z floor at 0 (the udvis camera contract)
+        assert calls["layout"][0]["scene"]["aspectmode"] == "data"
+        assert calls["layout"][0]["scene"]["zaxis"]["range"][0] == 0.0
+        assert fig.data
+
+    def test_missing_plotly_raises_import_error(self, monkeypatch):
+        import builtins
+        import sys
+        from udales_tpu.vis import render_scene
+        monkeypatch.setitem(sys.modules, "plotly", None)
+        real_import = builtins.__import__
+
+        def imp(name, *a, **k):
+            if name == "plotly":
+                raise ImportError("nope")
+            return real_import(name, *a, **k)
+        monkeypatch.setattr(builtins, "__import__", imp)
+        with pytest.raises(ImportError, match="plotly"):
+            render_scene(self._scene(), backend="plotly")

@@ -334,6 +334,24 @@ class UDPost:
             return v.mean(axis=axis)
         return np.trapezoid(v, t, axis=axis) / (t[-1] - t[0])
 
+    @staticmethod
+    def merge_stat(X, *args, Y=None, XpXp=None, XpYp=None):
+        """Merge short-window statistics into longer windows
+        (udbase.merge_stat:1296 -> udstats.merge_stat:53).  Patterns:
+        ``(X, n)``, ``(X, XpXp, n)``, ``(X, Y, XpYp, n)`` and the keyword
+        forms.  Variances/covariances combine the mean within-window
+        contribution with the between-window variance of the short means
+        (law of total variance); the oldest samples that do not fill a
+        complete window are discarded."""
+        return merge_stat(X, *args, Y=Y, XpXp=XpXp, XpYp=XpYp)
+
+    @staticmethod
+    def coarsegrain_field(var, Lflt, xm, ym):
+        """2-D periodic box filter of a 3-D field
+        (udbase.coarsegrain_field:1303 -> udstats.coarsegrain_field:166).
+        Returns (nx, ny, nz, n_filters)."""
+        return coarsegrain_field(var, Lflt, xm, ym)
+
     # -- facet <-> field conversion ----------------------------------------
     def convert_fac_to_field(self, var: np.ndarray, facsec=None,
                              grid_type: str = "c") -> np.ndarray:
@@ -410,3 +428,98 @@ class UDPost:
 
     def __repr__(self):
         return self.describe()
+
+
+# ---------------------------------------------------------------------------
+# statistics utilities (udstats.py)
+# ---------------------------------------------------------------------------
+
+def merge_stat(X, *args, Y=None, XpXp=None, XpYp=None):
+    """Merge short-term statistics into longer windows
+    (tools/python/udstats.py:53-164 semantics; re-derivation).
+
+    Positional patterns: ``(X, n)``, ``(X, XpXp, n)`` (MATLAB style),
+    ``(X, Y, XpYp, n)``; or ``(X, n, XpXp=...)`` / ``(X, n, Y=...,
+    XpYp=...)``.  The trailing axis is time.  Returns ``Xmean`` /
+    ``(Xmean, var)`` / ``(Xmean, Ymean, cov)``: the merged second moments
+    are mean(within-window contribution) + moment of the short means
+    inside each merged window."""
+    X = np.asarray(X)
+    if len(args) == 1:
+        n = int(args[0])
+    elif len(args) == 2 and Y is None:
+        XpXp = np.asarray(args[0])
+        n = int(args[1])
+    elif len(args) == 3:
+        Y = np.asarray(args[0])
+        XpYp = np.asarray(args[1])
+        n = int(args[2])
+    else:
+        raise ValueError("merge_stat expects 1, 2, or 3 positional "
+                         "arguments after X")
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if X.shape[-1] < n:
+        raise ValueError("Not enough samples to form a single merged "
+                         "window")
+    nwin = X.shape[-1] // n
+    start = X.shape[-1] - nwin * n     # drop the OLDEST incomplete window
+    grp = lambda a: a[..., start:].reshape(*a.shape[:-1], nwin, n)
+    Xg = grp(X)
+    Xm = Xg.mean(axis=-1)
+    if Y is None:
+        if XpXp is None:
+            return Xm
+        XpXp = np.asarray(XpXp)
+        if XpXp.shape[-1] != X.shape[-1]:
+            raise ValueError("XpXp must match X in the last dimension")
+        var = grp(XpXp).mean(axis=-1) \
+            + ((Xg - Xm[..., None]) ** 2).mean(axis=-1)
+        return Xm, var
+    Y = np.asarray(Y)
+    if Y.shape[-1] != X.shape[-1]:
+        raise ValueError("X and Y must share the last dimension")
+    Yg = grp(Y)
+    Ym = Yg.mean(axis=-1)
+    between = ((Xg - Xm[..., None]) * (Yg - Ym[..., None])).mean(axis=-1)
+    if XpYp is None:
+        return Xm, Ym, between
+    XpYp = np.asarray(XpYp)
+    if XpYp.shape[-1] != X.shape[-1]:
+        raise ValueError("XpYp must match X and Y in the last dimension")
+    return Xm, Ym, grp(XpYp).mean(axis=-1) + between
+
+
+def coarsegrain_field(var, Lflt, xm, ym):
+    """2-D periodic box filters of a 3-D field
+    (tools/python/udstats.py:166-221 semantics): for each filter length L
+    the kernel is the periodic half-width box round((L/dx)/2) (min 1
+    cell), applied per level by FFT convolution.
+    Returns (nx, ny, nz, n_filters)."""
+    var = np.asarray(var)
+    if var.ndim != 3:
+        raise ValueError("var must be 3D with shape (nx, ny, nz)")
+    xm = np.asarray(xm).ravel()
+    ym = np.asarray(ym).ravel()
+    if xm.size < 2 or ym.size < 2:
+        raise ValueError("xm and ym must contain at least two points")
+    dx = float(np.mean(np.diff(xm)))
+    dy = float(np.mean(np.diff(ym)))
+    if dx <= 0 or dy <= 0:
+        raise ValueError("Grid spacings must be positive")
+    L_arr = np.atleast_1d(Lflt)
+    nx, ny, nz = var.shape
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    di = np.minimum(ii, nx - ii)
+    dj = np.minimum(jj, ny - jj)
+    out = np.empty((nx, ny, nz, len(L_arr)))
+    vhat = np.fft.fftn(var, axes=(0, 1))
+    for i, L in enumerate(L_arr):
+        ngx = max(int(round((L / dx) / 2.0)), 1)
+        ngy = max(int(round((L / dy) / 2.0)), 1)
+        kernel = ((di <= ngx) & (dj <= ngy)).astype(float)
+        kernel /= kernel.sum()
+        khat = np.fft.fftn(kernel)
+        out[..., i] = np.real(np.fft.ifftn(vhat * khat[:, :, None],
+                                           axes=(0, 1)))
+    return out

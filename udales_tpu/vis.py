@@ -112,9 +112,88 @@ def _set_equal_axes(ax, mins, maxs):
         pass
 
 
+def _render_plotly(scene: Scene, show: bool):
+    """plotly backend (udvis/backend_plotly.py semantics): Mesh3d per mesh
+    primitive, Scatter3d for lines/points, cone traces for glyphs."""
+    import plotly.graph_objects as go
+    traces = []
+    for m in scene.meshes:
+        v = np.asarray(m.vertices, float)
+        f = np.asarray(m.faces, int)
+        kw = dict(x=v[:, 0], y=v[:, 1], z=v[:, 2],
+                  i=f[:, 0], j=f[:, 1], k=f[:, 2],
+                  name=m.name or None, opacity=float(m.alpha),
+                  flatshading=True)
+        if m.face_values is not None:
+            kw.update(intensity=np.asarray(m.face_values, float),
+                      intensitymode="cell",
+                      colorscale=(m.cmap or SEQUENTIAL_CMAP).capitalize()
+                      if (m.cmap or SEQUENTIAL_CMAP).lower() == "viridis"
+                      else "RdBu", showscale=True)
+            if m.vmin is not None:
+                kw["cmin"] = float(m.vmin)
+            if m.vmax is not None:
+                kw["cmax"] = float(m.vmax)
+            if (m.cmap or "").lower() == DIVERGING_CMAP.lower():
+                kw["colorscale"] = "RdBu"
+                kw["reversescale"] = True
+        elif m.face_colors is not None:
+            fc = np.asarray(m.face_colors, float)
+            kw["facecolor"] = ["rgb(%d,%d,%d)" % tuple(
+                (255 * c[:3]).astype(int)) for c in fc]
+        else:
+            kw["color"] = m.solid_color or BUILDING_RGB
+        traces.append(go.Mesh3d(**kw))
+    for ln in scene.lines:
+        v = np.asarray(ln.vertices, float)
+        xs, ys, zs = [], [], []
+        for a, b in np.asarray(ln.segments, int):
+            xs += [v[a, 0], v[b, 0], None]
+            ys += [v[a, 1], v[b, 1], None]
+            zs += [v[a, 2], v[b, 2], None]
+        traces.append(go.Scatter3d(
+            x=xs, y=ys, z=zs, mode="lines", name=ln.name or None,
+            line=dict(color=ln.color, width=2.0 * ln.width)))
+    for p in scene.points:
+        pts = np.asarray(p.points, float).reshape(-1, 3)
+        traces.append(go.Scatter3d(
+            x=pts[:, 0], y=pts[:, 1], z=pts[:, 2], mode="markers",
+            name=p.name or None,
+            marker=dict(color=p.color, size=p.size, opacity=p.alpha)))
+    for g in scene.glyphs:
+        pts = np.asarray(g.points, float).reshape(-1, 3)
+        vec = np.asarray(g.vectors, float).reshape(-1, 3) * g.scale
+        traces.append(go.Cone(
+            x=pts[:, 0], y=pts[:, 1], z=pts[:, 2],
+            u=vec[:, 0], v=vec[:, 1], w=vec[:, 2],
+            sizemode="absolute", showscale=False,
+            colorscale=[[0, g.color], [1, g.color]], name=g.name or None))
+    mins, maxs = scene.compute_bounds()
+    fig = go.Figure(data=traces)
+    fig.update_layout(
+        title=scene.title or None,
+        scene=dict(aspectmode="data",
+                   xaxis=dict(range=[float(mins[0]), float(maxs[0])]),
+                   yaxis=dict(range=[float(mins[1]), float(maxs[1])]),
+                   zaxis=dict(range=[0.0, float(maxs[2])])))
+    if show:        # pragma: no cover - interactive
+        fig.show()
+    return fig
+
+
 def render_scene(scene: Scene, backend: str = "matplotlib", show: bool = False):
-    """Render a Scene. Returns the backend figure (matplotlib Figure)."""
-    if backend in ("plotly", "pyvista"):
+    """Render a Scene. Returns the backend figure (matplotlib Figure or
+    plotly Figure).  `pyvista` (the reference's third backend) is not
+    bundled in this image and raises with a clear message."""
+    if backend == "plotly":
+        try:
+            __import__("plotly")
+        except ImportError as e:
+            raise ImportError(
+                "backend 'plotly' requires the optional plotly package "
+                "(not bundled); use backend='matplotlib'") from e
+        return _render_plotly(scene, show)
+    if backend == "pyvista":
         try:
             __import__(backend)
         except ImportError as e:
@@ -122,8 +201,8 @@ def render_scene(scene: Scene, backend: str = "matplotlib", show: bool = False):
                 f"backend {backend!r} requires the optional {backend} package "
                 f"(not bundled); use backend='matplotlib'") from e
         raise NotImplementedError(
-            f"backend {backend!r}: install-time hook only; matplotlib is the "
-            "supported headless backend")
+            "backend 'pyvista': install-time hook only; matplotlib and "
+            "plotly are the supported backends")
     import matplotlib
     import matplotlib.pyplot as plt
     from mpl_toolkits.mplot3d.art3d import (Line3DCollection,
