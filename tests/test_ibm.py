@@ -309,3 +309,60 @@ class TestTauDiagnostics:
         mu = nc["mask_u"]
         assert set(np.unique(mu)) <= {0.0, 1.0}
         nc.close()
+
+
+class TestDiffCorrFolding:
+    """The IBM diffusion corrections folded into the main sweeps as {0,1}
+    flux masks (subgrid.diff_u/..., run.py) must reproduce the separate
+    sweep+correction passes exactly (f64) on the real 101 case."""
+
+    def _run(self, fold, nsteps=3):
+        from udales_tpu.run import load_case
+        m = load_case(CASE, "101", dtype="float64")
+        m.ibm.fold_diffcorr = fold
+        state = m.cold_start(seed=11)
+        step = jax.jit(m.step)
+        for _ in range(nsteps):
+            state = step(state)
+        return state
+
+    def test_folded_equals_separate(self):
+        a = self._run(True)
+        b = self._run(False)
+        for name in ("u", "v", "w", "thl", "qt", "sv"):
+            fa = np.asarray(getattr(a.c, name))
+            fb = np.asarray(getattr(b.c, name))
+            sc = max(np.abs(fb).max(), 1e-12)
+            np.testing.assert_allclose(fa, fb, rtol=0, atol=1e-12 * sc,
+                                       err_msg=name)
+
+    def test_masked_sweep_equals_sweep_plus_corr_directly(self):
+        """Operator-level check: diff_* with M == diff_* + _diff*_corr
+        at fluid points (solid points differ until ibmnorm zeroes them)."""
+        from udales_tpu.ops import subgrid as sg
+        from udales_tpu.ops.boundary import make_ghosts
+        from udales_tpu.run import load_case
+        m = load_case(CASE, "101", dtype="float64")
+        ibm, grid, cfg = m.ibm, m.grid, m.cfg
+        state = m.cold_start(seed=13)
+        ekm = jnp.asarray(
+            np.random.default_rng(17).uniform(1e-4, 1e-2, grid.shape))
+        g = make_ghosts(state.c, ekm, ekm, cfg, grid)
+        Mu = np.asarray(ibm.masks.u, bool)
+        got = np.asarray(sg.diff_u(g, grid, M=ibm.pmask_u))
+        want = np.asarray(sg.diff_u(g, grid)
+                          + ibm._diffu_corr(g, grid))
+        np.testing.assert_allclose(got[Mu], want[Mu], rtol=1e-12,
+                                   atol=1e-14)
+        Mw = np.asarray(ibm.masks.w, bool)
+        gotw = np.asarray(sg.diff_w(g, grid, M=ibm.pmask_w))
+        wantw = np.asarray(sg.diff_w(g, grid)
+                           + ibm._diffw_corr(g, grid))
+        np.testing.assert_allclose(gotw[Mw], wantw[Mw], rtol=1e-12,
+                                   atol=1e-14)
+        Mc = np.asarray(ibm.masks.c, bool)
+        gotc = np.asarray(sg.diff_c(g.thl, g.ekh, grid, M=ibm.pmask_c))
+        wantc = np.asarray(sg.diff_c(g.thl, g.ekh, grid)
+                           + ibm._diffc_corr(g.thl, g.ekh, grid))
+        np.testing.assert_allclose(gotc[Mc], wantc[Mc], rtol=1e-12,
+                                   atol=1e-14)

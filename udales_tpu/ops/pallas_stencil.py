@@ -188,14 +188,23 @@ def _diff_w_plane(g, grid: Grid, kf: int):
     return t_x + t_y + t_z
 
 
-def fused_diff_mom(g, grid: Grid, pack=None):
+def fused_diff_mom(g, grid: Grid, pack=None, pmasks=None):
     """diff_u + diff_v + diff_w in one Pallas kernel (TPU); plain jnp path
     on CPU / unsupported sizes.  Inputs are the h=1 ghosted fields of
     ops/boundary.  When the caller supplies the substep's shared
     `GradPack`, the jnp path uses `subgrid.fused_diffusion` (edge fluxes
-    shared with the closure) instead of the three standalone sweeps."""
+    shared with the closure) instead of the three standalone sweeps.
+
+    `pmasks` (dict u/v/w of ghosted IBM fluid masks): fold the IBM
+    diffusion corrections into the sweeps (subgrid.diff_u docstring) —
+    this always takes the standalone masked path (the experimental
+    Pallas/fused variants stay correction-separate)."""
     from . import subgrid as sgs
     nx, ny, nz = grid.shape
+    if pmasks is not None:
+        return (sgs.diff_u(g, grid, M=pmasks["u"]),
+                sgs.diff_v(g, grid, M=pmasks["v"]),
+                sgs.diff_w(g, grid, M=pmasks["w"]))
     interpret = os.environ.get("UDALES_PALLAS_INTERPRET") == "1"
     enabled = os.environ.get("UDALES_PALLAS") == "1"
     if not interpret and (jax.default_backend() == "cpu"

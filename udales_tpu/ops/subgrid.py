@@ -378,8 +378,15 @@ def tke_sources(g, grid: Grid, cfg: Config, e12, ekm, ekh, dthvdz, zlt, thvs,
 # Diffusion stencils
 # ---------------------------------------------------------------------------
 
-def diff_u(g, grid: Grid):
-    """d/dxj(2 Km S1j) at u-points (modsubgrid.f90:672-775, LES branch)."""
+def diff_u(g, grid: Grid, M=None):
+    """d/dxj(2 Km S1j) at u-points (modsubgrid.f90:672-775, LES branch).
+
+    `M` (optional): ghosted IBM fluid mask at u-points (ibm.pmask_u).
+    When given, the u-normal-gradient component of each lateral/vertical
+    flux is multiplied by the OPPOSITE point's mask — exactly the
+    reference's diffu_corr subtraction (modibm.f90:990-1030) folded into
+    the sweep: masking a flux term by {0,1} equals computing it and
+    subtracting it, with zero extra passes (see ibm/ibm.py wallfun)."""
     nx, ny, nz = grid.shape
     S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
     Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
@@ -400,21 +407,27 @@ def diff_u(g, grid: Grid):
     empo = 0.25 * (ekm_c + S(ekm, 0, 1, 0) + S(ekm, -1, 0, 0) + S(ekm, -1, 1, 0))
     emmo = 0.25 * (ekm_c + S(ekm, 0, -1, 0) + S(ekm, -1, -1, 0) + S(ekm, -1, 0, 0))
 
+    one = 1.0
+    mjp = S(M, 0, 1, 0) if M is not None else one
+    mjm = S(M, 0, -1, 0) if M is not None else one
+    mkp = S(M, 0, 0, 1) if M is not None else one
+    mkm = S(M, 0, 0, -1) if M is not None else one
     t_x = (ekm_c * (S(u, 1, 0, 0) - S(u, 0, 0, 0))
            - ekm_im * (S(u, 0, 0, 0) - S(u, -1, 0, 0))) * 2.0 * grid.dx2i
-    t_y = (empo * ((S(u, 0, 1, 0) - S(u, 0, 0, 0)) * dyi
+    t_y = (empo * ((S(u, 0, 1, 0) - S(u, 0, 0, 0)) * dyi * mjp
                    + (S(v, 0, 1, 0) - S(v, -1, 1, 0)) * dxi)
-           - emmo * ((S(u, 0, 0, 0) - S(u, 0, -1, 0)) * dyi
+           - emmo * ((S(u, 0, 0, 0) - S(u, 0, -1, 0)) * dyi * mjm
                      + (S(v, 0, 0, 0) - S(v, -1, 0, 0)) * dxi)) * dyi
-    t_z = (emop * ((S(u, 0, 0, 1) - S(u, 0, 0, 0)) * dzhi_kp
+    t_z = (emop * ((S(u, 0, 0, 1) - S(u, 0, 0, 0)) * dzhi_kp * mkp
                    + (Sw(w, 0, 0, 1) - Sw(w, -1, 0, 1)) * dxi)
-           - emom * ((S(u, 0, 0, 0) - S(u, 0, 0, -1)) * dzhi_k
+           - emom * ((S(u, 0, 0, 0) - S(u, 0, 0, -1)) * dzhi_k * mkm
                      + (Sw(w, 0, 0, 0) - Sw(w, -1, 0, 0)) * dxi)) * dzfi_k
     return t_x + t_y + t_z
 
 
-def diff_v(g, grid: Grid):
-    """(modsubgrid.f90:778-886)."""
+def diff_v(g, grid: Grid, M=None):
+    """(modsubgrid.f90:778-886).  `M`: ghosted v-point fluid mask — folds
+    diffv_corr (modibm.f90:1033-1075), see diff_u."""
     nx, ny, nz = grid.shape
     S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
     Sw = partial(shw, nx=nx, ny=ny, nz=nz, h=1)
@@ -435,21 +448,28 @@ def diff_v(g, grid: Grid):
     emmo = 0.25 * (ekm_c + ekm_jm + S(ekm, -1, -1, 0) + S(ekm, -1, 0, 0))
     epmo = 0.25 * (ekm_c + ekm_jm + S(ekm, 1, -1, 0) + S(ekm, 1, 0, 0))
 
-    t_x = (epmo * ((S(v, 1, 0, 0) - S(v, 0, 0, 0)) * dxi
+    one = 1.0
+    mip = S(M, 1, 0, 0) if M is not None else one
+    mim = S(M, -1, 0, 0) if M is not None else one
+    mkp = S(M, 0, 0, 1) if M is not None else one
+    mkm = S(M, 0, 0, -1) if M is not None else one
+    t_x = (epmo * ((S(v, 1, 0, 0) - S(v, 0, 0, 0)) * dxi * mip
                    + (S(u, 1, 0, 0) - S(u, 1, -1, 0)) * dyi)
-           - emmo * ((S(v, 0, 0, 0) - S(v, -1, 0, 0)) * dxi
+           - emmo * ((S(v, 0, 0, 0) - S(v, -1, 0, 0)) * dxi * mim
                      + (S(u, 0, 0, 0) - S(u, 0, -1, 0)) * dyi)) * dxi
     t_y = (ekm_c * (S(v, 0, 1, 0) - S(v, 0, 0, 0))
            - ekm_jm * (S(v, 0, 0, 0) - S(v, 0, -1, 0))) * 2.0 * grid.dy2i
-    t_z = (eomp * ((S(v, 0, 0, 1) - S(v, 0, 0, 0)) * dzhi_kp
+    t_z = (eomp * ((S(v, 0, 0, 1) - S(v, 0, 0, 0)) * dzhi_kp * mkp
                    + (Sw(w, 0, 0, 1) - Sw(w, 0, -1, 1)) * dyi)
-           - eomm * ((S(v, 0, 0, 0) - S(v, 0, 0, -1)) * dzhi_k
+           - eomm * ((S(v, 0, 0, 0) - S(v, 0, 0, -1)) * dzhi_k * mkm
                      + (Sw(w, 0, 0, 0) - Sw(w, 0, -1, 0)) * dyi)) * dzfi_k
     return t_x + t_y + t_z
 
 
-def diff_w(g, grid: Grid):
-    """(modsubgrid.f90:890-997). Face-shaped result, interior faces only."""
+def diff_w(g, grid: Grid, M=None):
+    """(modsubgrid.f90:890-997). Face-shaped result, interior faces only.
+    `M`: x/y-ghosted w-face fluid mask (ibm.pmask_w) — folds diffw_corr
+    (modibm.f90:1078-1117), see diff_u."""
     nx, ny, nz = grid.shape
     u, v, w, ekm = g.u, g.v, g.w, g.ekm
     h = 1
@@ -478,14 +498,21 @@ def diff_w(g, grid: Grid):
     epom = (dzf_km * (C(ekm, 0, 0, 1) + C(ekm, 1, 0, 1))
             + dzf_k * (C(ekm, 0, 0, 0) + C(ekm, 1, 0, 0))) * dzhiq_k
 
+    one = 1.0
+    if M is not None:
+        Mf = lambda di, dj: M[h + di: h + di + nx, h + dj: h + dj + ny,
+                              1: 1 + nf]
+        mip, mim, mjp, mjm = Mf(1, 0), Mf(-1, 0), Mf(0, 1), Mf(0, -1)
+    else:
+        mip = mim = mjp = mjm = one
     wc = wf(0, 0, 0)
-    t_x = (epom * ((wf(1, 0, 0) - wc) * dxi
+    t_x = (epom * ((wf(1, 0, 0) - wc) * dxi * mip
                    + (C(u, 1, 0, 1) - C(u, 1, 0, 0)) * dzhi_k)
-           - emom * ((wc - wf(-1, 0, 0)) * dxi
+           - emom * ((wc - wf(-1, 0, 0)) * dxi * mim
                      + (C(u, 0, 0, 1) - C(u, 0, 0, 0)) * dzhi_k)) * dxi
-    t_y = (eopm * ((wf(0, 1, 0) - wc) * dyi
+    t_y = (eopm * ((wf(0, 1, 0) - wc) * dyi * mjp
                    + (C(v, 0, 1, 1) - C(v, 0, 1, 0)) * dzhi_k)
-           - eomm * ((wc - wf(0, -1, 0)) * dyi
+           - eomm * ((wc - wf(0, -1, 0)) * dyi * mjm
                      + (C(v, 0, 0, 1) - C(v, 0, 0, 0)) * dzhi_k)) * dyi
     t_z = (C(ekm, 0, 0, 1) * (wf(0, 0, 1) - wc) * dzfi_k
            - C(ekm, 0, 0, 0) * (wc - wf(0, 0, -1)) * dzfi_km) * 2.0 * dzhi_k
@@ -581,9 +608,11 @@ def fused_diffusion(g, grid: Grid):
     return tu, tv, tw
 
 
-def diff_c(gc, gekh, grid: Grid):
+def diff_c(gc, gekh, grid: Grid, M=None):
     """Scalar diffusion (modsubgrid.f90:540-623, LES branch). `gc` ghosted
-    h=1/hk=1."""
+    h=1/hk=1.  `M`: ghosted c-point fluid mask (ibm.pmask_c) — folds
+    diffc_corr (modibm.f90:1120-1164): every flux is masked by the
+    opposite cell's fluid flag, see diff_u."""
     nx, ny, nz = grid.shape
     S = partial(sh, nx=nx, ny=ny, nz=nz, h=1, hk=1)
     dzf = grid.j("dzf_g")
@@ -593,14 +622,20 @@ def diff_c(gc, gekh, grid: Grid):
     dzfi_k = kvec(grid.j("dzfi"), 0, nz)
     c = S(gc, 0, 0, 0)
     e = S(gekh, 0, 0, 0)
+    one = 1.0
+    m = (lambda di, dj, dk: S(M, di, dj, dk)) if M is not None \
+        else (lambda di, dj, dk: one)
     t = 0.5 * (
-        ((S(gekh, 1, 0, 0) + e) * (S(gc, 1, 0, 0) - c)
-         - (e + S(gekh, -1, 0, 0)) * (c - S(gc, -1, 0, 0))) * grid.dx2i
-        + ((S(gekh, 0, 1, 0) + e) * (S(gc, 0, 1, 0) - c)
-           - (e + S(gekh, 0, -1, 0)) * (c - S(gc, 0, -1, 0))) * grid.dy2i
-        + ((dzf_kp * e + dzf_k * S(gekh, 0, 0, 1)) * (S(gc, 0, 0, 1) - c) * dzh2i_kp
-           - (dzf_km * e + dzf_k * S(gekh, 0, 0, -1)) * (c - S(gc, 0, 0, -1)) * dzh2i_k
-           ) * dzfi_k)
+        ((S(gekh, 1, 0, 0) + e) * (S(gc, 1, 0, 0) - c) * m(1, 0, 0)
+         - (e + S(gekh, -1, 0, 0)) * (c - S(gc, -1, 0, 0)) * m(-1, 0, 0))
+        * grid.dx2i
+        + ((S(gekh, 0, 1, 0) + e) * (S(gc, 0, 1, 0) - c) * m(0, 1, 0)
+           - (e + S(gekh, 0, -1, 0)) * (c - S(gc, 0, -1, 0)) * m(0, -1, 0))
+        * grid.dy2i
+        + ((dzf_kp * e + dzf_k * S(gekh, 0, 0, 1)) * (S(gc, 0, 0, 1) - c)
+           * dzh2i_kp * m(0, 0, 1)
+           - (dzf_km * e + dzf_k * S(gekh, 0, 0, -1))
+           * (c - S(gc, 0, 0, -1)) * dzh2i_k * m(0, 0, -1)) * dzfi_k)
     return t
 
 
