@@ -407,8 +407,10 @@ class IBM:
         KCAP = int(os.environ.get("UDALES_IBM_KCAP", "6"))
         tail_m = slot >= KCAP                     # over merged entries
         tail = None
+        ijk_tail = None
         if tail_m.any():
             tm = tail_m
+            ijk_tail = ijk[tm]
             kcell_t = (ijk[tm, 2] if which != "w"
                        else np.minimum(ijk[tm, 2], nz - 1))
             dzf_t = np.asarray(g.j("dzf"))[kcell_t]
@@ -420,7 +422,7 @@ class IBM:
             j32 = lambda a: jnp.asarray(a, jnp.int32)
             jf = lambda a: jnp.asarray(a, g.dtype)
             tail = dict(
-                idx=j32(flat[tm]), fac=j32(fid[tm]),
+                fac=j32(fid[tm]),
                 n0=jf(norms_t[:, 0]), n1=jf(norms_t[:, 1]),
                 n2=jf(norms_t[:, 2]),
                 area=jf(area[tm]), dist=jf(dist[tm]), logdz=jf(logdz_t),
@@ -466,6 +468,16 @@ class IBM:
         Nt = kz * ny * nx
         flat_t = np.ravel_multi_index(
             (ijk[:, 2], ijk[:, 1], ijk[:, 0]), (kz, ny, nx))
+        if tail is not None:
+            # tail cells are a subset of kept cells (a cell only overflows
+            # into the tail once its first KCAP slots are kept), so every
+            # tail index fits in the z-major slab — gathers/scatters then
+            # run against the slab views the dense path materializes
+            # anyway, and the FULL-field interpolated velocities never
+            # materialize at all (a full-field gather would force them)
+            tail["idx"] = jnp.asarray(np.ravel_multi_index(
+                (ijk_tail[:, 2], ijk_tail[:, 1], ijk_tail[:, 0]),
+                (kz, ny, nx)), jnp.int32)
 
         def densify(vals, pad):
             a = np.full((K, Nt), pad, np.float64)
@@ -859,23 +871,28 @@ class IBM:
         stress_dir = jnp.sign(ua) * jnp.abs(a * stress)
         # padding slots carry avol=0, so `ok` alone masks the rest
         contrib = jnp.where(ok, -stress_dir * dn["avol"], 0.0)
-        out_s = jnp.transpose(jnp.sum(contrib, axis=0), (2, 1, 0))
-        out = jnp.pad(out_s, ((0, 0), (0, 0), (0, shape[2] - kz))
-                      ).astype(dtype)
+        slab_sum = jnp.sum(contrib, axis=0)            # (kz, ny, nx)
         tail_facsum = None
         if "_tail" in dn:
+            # tail gathers/scatters stay in slab space (tail["idx"] is
+            # slab-flat, _build_dense) — the full interpolated fields are
+            # never materialized
             t = dn["_tail"]
-            tvals = self._tail_fields(t, uu, vv, ww, Ta)
+            tvals = self._tail_fields(t, uu_s, vv_s, ww_s, Ta_s)
             sdir_t, ok_t = self._tail_stress(
                 which, t, tvals, cfg, surf.get("_tail_" + which))
-            add = jnp.where(ok_t, -sdir_t * t["avol"], 0.0).astype(dtype)
-            out = out.reshape(-1).at[t["idx"]].add(add).reshape(shape)
+            add = jnp.where(ok_t, -sdir_t * t["avol"], 0.0)
+            slab_sum = slab_sum.reshape(-1).at[t["idx"]].add(add).reshape(
+                slab_sum.shape)
             if ret_slots:
                 # tail sections' contribution to the lwritefac per-facet
                 # stress sums (the dense slots only cover kept sections)
                 tail_facsum = jax.ops.segment_sum(
                     jnp.where(ok_t, sdir_t, 0.0) * t["area"], t["fac"],
                     num_segments=self.nfcts).astype(dtype)
+        out_s = jnp.transpose(slab_sum, (2, 1, 0))
+        out = jnp.pad(out_s, ((0, 0), (0, 0), (0, shape[2] - kz))
+                      ).astype(dtype)
         if ret_slots:
             return out, jnp.where(ok, stress_dir, 0.0), tail_facsum
         return out
@@ -976,11 +993,10 @@ class IBM:
                     jnp.exp(0.5 * dn["logdz"]), Ta_s, surf["c"],
                     cfg.walls.prandtlturb)
             fl = jnp.where(valid, flux, 0.0)
-            dthl_s = jnp.transpose(-jnp.sum(fl * dn["awgt"], axis=0),
-                                   (2, 1, 0))
-            dthl = jnp.pad(dthl_s, ((0, 0), (0, 0), (0, nz - kz))
-                           ).astype(dtype)
+            thl_acc = -jnp.sum(fl * dn["awgt"], axis=0)    # (kz, ny, nx)
             hf_tot = jnp.sum(fl * areaK).astype(dtype)
+        else:
+            thl_acc = None
 
         # latent heat on green-roof facets (modibm.f90:1555-1589)
         if (cfg.physics.lmoist and cfg.walls.iwallmoist == 1
@@ -996,10 +1012,7 @@ class IBM:
                      jnp.where(jnp.abs(n2 - 1) < e, b.bcqfz, 0.0)))))
             mfl = jnp.where(valid & (dn["lGR"] > 0.0),
                             mflux * jnp.ones_like(utan), 0.0)
-            dqt_s = jnp.transpose(-jnp.sum(mfl * dn["awgt"], axis=0),
-                                  (2, 1, 0))
-            dqt = jnp.pad(dqt_s, ((0, 0), (0, 0), (0, nz - kz))
-                          ).astype(dtype)
+            qt_acc = -jnp.sum(mfl * dn["awgt"], axis=0)
             ef_tot = jnp.sum(mfl * areaK).astype(dtype)
         elif (cfg.physics.lmoist and fac is not None
                 and cfg.walls.iwallmoist == 2 and "qwall" in surf):
@@ -1013,17 +1026,18 @@ class IBM:
                 + (1.0 - cveg) * (qtair - qwall * hurel) / (resa + ress))
             mfl = jnp.where(valid & (dn["lGR"] > 0.0)
                             & (htc * jnp.abs(utan) > 0.0), mflux, 0.0)
-            dqt_s = jnp.transpose(-jnp.sum(mfl * dn["awgt"], axis=0),
-                                  (2, 1, 0))
-            dqt = jnp.pad(dqt_s, ((0, 0), (0, 0), (0, nz - kz))
-                          ).astype(dtype)
+            qt_acc = -jnp.sum(mfl * dn["awgt"], axis=0)
             ef_tot = jnp.sum(mfl * areaK).astype(dtype)
+        else:
+            qt_acc = None
 
         # sparse tail sections (K-cap overflow of real-city geometry)
         fl_t = mfl_t = None
         t = dn.get("_tail")
         if t is not None:
-            tvals = self._tail_fields(t, uu, vv, ww, Ta)
+            # slab-space tail (see _wallfunmom_dense): gathers read the
+            # transposed slab views, scatters land in the slab accumulators
+            tvals = self._tail_fields(t, uu_s, vv_s, ww_s, Ta_s)
             uu_t, vv_t, ww_t, Ta_t = tvals
             _, utan_t, ok_t = self._tail_tangent(t, tvals)
             htc_t = jnp.zeros_like(utan_t)
@@ -1044,9 +1058,8 @@ class IBM:
                         jnp.exp(0.5 * t["logdz"]), Ta_t, Ts,
                         cfg.walls.prandtlturb)
                 fl_t = jnp.where(ok_t, flux_t, 0.0)
-                dthl = dthl.reshape(-1).at[t["idx"]].add(
-                    (-fl_t * t["awgt"]).astype(dtype)).reshape(
-                    (nx, ny, nz))
+                thl_acc = thl_acc.reshape(-1).at[t["idx"]].add(
+                    -fl_t * t["awgt"]).reshape(thl_acc.shape)
                 hf_tot = hf_tot + jnp.sum(fl_t * t["areaK"]).astype(dtype)
             if (cfg.physics.lmoist and cfg.walls.iwallmoist == 1
                     and "lGR" in t):
@@ -1062,7 +1075,7 @@ class IBM:
                                   mflux_t * jnp.ones_like(utan_t), 0.0)
             elif (cfg.physics.lmoist and fac is not None
                     and cfg.walls.iwallmoist == 2 and "lGR" in t):
-                qtair_t = g.qt[1:-1, 1:-1, 1:-1].reshape(-1)[t["idx"]]
+                qtair_t = Tz(g.qt[1:-1, 1:-1, 1:-1]).reshape(-1)[t["idx"]]
                 qwall_t = fac.qsat[t["fac"]]
                 hurel_t = fac.hurel[t["fac"]]
                 resa_t = 1.0 / jnp.maximum(htc_t * jnp.abs(utan_t), 1e-10)
@@ -1077,10 +1090,19 @@ class IBM:
                                   & (htc_t * jnp.abs(utan_t) > 0.0),
                                   mflux_t, 0.0)
             if mfl_t is not None:
-                dqt = dqt.reshape(-1).at[t["idx"]].add(
-                    (-mfl_t * t["awgt"]).astype(dtype)).reshape(
-                    (nx, ny, nz))
+                if qt_acc is None:
+                    qt_acc = jnp.zeros((kz, ny, nx), dtype)
+                qt_acc = qt_acc.reshape(-1).at[t["idx"]].add(
+                    -mfl_t * t["awgt"]).reshape(qt_acc.shape)
                 ef_tot = ef_tot + jnp.sum(mfl_t * t["areaK"]).astype(dtype)
+
+        def _pad_acc(acc):
+            return jnp.pad(jnp.transpose(acc, (2, 1, 0)),
+                           ((0, 0), (0, 0), (0, nz - kz))).astype(dtype)
+        if thl_acc is not None:
+            dthl = _pad_acc(thl_acc)
+        if qt_acc is not None:
+            dqt = _pad_acc(qt_acc)
 
         if need_fac:
             # per-facet sums for the EB: one gather + one segment_sum,
