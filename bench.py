@@ -3,7 +3,11 @@
 Prints ONE JSON line {"metric":..., "value":..., "unit":..., "vs_baseline":...}
 whose `value` is the URBAN case (IBM building array + wall functions +
 heated facets — the framework's reason to exist); the flat 128^3 and 256^3
-numbers ride along as `flat_128` / `flat_256` keys.
+numbers ride along as `flat_128` / `flat_256` keys, the shipped 949
+production precursor (256x128x128 real-city STL) as `prec_949`, and a
+driven full-size 950 replay segment (DriverStream + BCxm=3 inlet) as
+`replay_950` under UDALES_BENCH_950=1 (env-gated for compile time; it
+synthesizes full-size driver planes into .bench_cache on first use).
 
 Baseline note (BASELINE.md): the Fortran/MPI reference publishes no numbers
 and cannot be built in this environment (no gfortran/MPI), so `vs_baseline`
@@ -119,6 +123,87 @@ def measure_urban(n=128, nsteps=10):
     return _time_run(model, state, nsteps), model
 
 
+REF_EXAMPLES = Path("/root/reference/examples")
+
+
+def measure_949(nsteps=10):
+    """Production-scale comparator: the shipped 949 precursor
+    (256x128x128, real-city STL, nfcts=22881), loaded from its committed
+    inputs and stepped on the chip (examples/949/namoptions.949)."""
+    from udales_tpu.run import load_case
+    model = load_case(REF_EXAMPLES / "949", "949", dtype="float32")
+    state = model.cold_start(seed=43)
+    return _time_run(model, state, nsteps)
+
+
+def _stage_950_replay():
+    """Copy examples/950 into the cache and synthesize full-size driver
+    planes (the reference ships only tdriver times): a log-profile inlet
+    plus deterministic perturbations, 40 records at dtdriver=1 s, written
+    through the reference ?driver_* binary format (moddriver.f90
+    writedriverfile:515)."""
+    import shutil
+    from udales_tpu.io.driverfiles import write_driver_files
+    case = CACHE / "replay950"
+    nam = case / "namoptions.950"
+    if nam.exists():
+        return case
+    case.mkdir(parents=True, exist_ok=True)
+    src = REF_EXAMPLES / "950"
+    for p in src.iterdir():
+        if p.is_file():
+            shutil.copy(p, case / p.name)
+    jt = kt = 128
+    nt = 40
+    t = np.arange(nt, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    z = (np.arange(kt) + 0.5) * (128.0 / kt)
+    uprof = 0.4 / 0.41 * np.log(np.maximum(z, 0.06) / 0.05)
+    base = np.broadcast_to(uprof[None, None, :], (nt, jt, kt))
+    planes = {
+        "u": (base + 0.05 * rng.standard_normal((nt, jt, kt))
+              ).astype(np.float64),
+        "v": 0.05 * rng.standard_normal((nt, jt, kt)),
+        "w": 0.02 * rng.standard_normal((nt, jt, kt)),
+        "thl": np.full((nt, jt, kt), 290.0),
+        "e12": np.full((nt, jt, kt), 0.05),
+    }
+    write_driver_files(case, "950", t, planes, jt, kt)
+    import re
+    text = nam.read_text()
+    for key, val in (("driverjobnr", "950"), ("driverstore", "24"),
+                     ("lfielddump", ".false."), ("ltdump", ".false."),
+                     ("lxytdump", ".false.")):
+        text = re.sub(rf"^({key}\s*=\s*)\S+", rf"\g<1>{val}", text,
+                      flags=re.M)
+    text = text.replace("&DRIVER", "&DRIVER\nlchunkread = .true.\n"
+                        "chunkread_size = 16", 1)
+    nam.write_text(text)
+    return case
+
+
+def measure_950_replay(nsteps=10):
+    """Driven full-size replay segment: DriverStream (lchunkread) window
+    + BCxm=3 driver inlet + convective outflow, stepped on the chip."""
+    import jax
+    from udales_tpu.run import load_case
+    case = _stage_950_replay()
+    model = load_case(case, "950", dtype="float32")
+    assert model.driver_stream is not None
+    state = model.cold_start(seed=43)
+    state = model.driver_stream.ensure(state)
+    run = jax.jit(lambda s: model.run(s, nsteps))
+    state = jax.block_until_ready(run(state))
+    best = float("inf")
+    for _ in range(3):
+        state = model.driver_stream.ensure(state)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(state))
+        best = min(best, time.perf_counter() - t0)
+    g = model.grid
+    return g.itot * g.jtot * g.ktot * nsteps / best
+
+
 def main():
     if os.environ.get("UDALES_BENCH_CPU"):
         # measured host-CPU comparator (same solver, XLA CPU backend)
@@ -148,6 +233,17 @@ def main():
             out[key] = round(measure_flat(*args), 1)
         except Exception as e:            # noqa: BLE001
             out[key] = f"failed: {type(e).__name__}"
+    # production-scale comparators (VERDICT r4 weak #5: machine-readable)
+    if REF_EXAMPLES.exists():
+        try:
+            out["prec_949"] = round(measure_949(), 1)
+        except Exception as e:            # noqa: BLE001
+            out["prec_949"] = f"failed: {type(e).__name__}"
+        if os.environ.get("UDALES_BENCH_950"):
+            try:
+                out["replay_950"] = round(measure_950_replay(), 1)
+            except Exception as e:        # noqa: BLE001
+                out["replay_950"] = f"failed: {type(e).__name__}"
     print(json.dumps(out))
 
 
