@@ -6,8 +6,9 @@ heated facets — the framework's reason to exist); the flat 128^3 and 256^3
 numbers ride along as `flat_128` / `flat_256` keys, the shipped 949
 production precursor (256x128x128 real-city STL) as `prec_949`, and a
 driven full-size 950 replay segment (DriverStream + BCxm=3 inlet) as
-`replay_950` under UDALES_BENCH_950=1 (env-gated for compile time; it
-synthesizes full-size driver planes into .bench_cache on first use).
+`replay_950` (synthesizes full-size driver planes into .bench_cache on
+first use; set UDALES_BENCH_NO_950=1 to skip it if compile time is a
+concern).
 
 Baseline note (BASELINE.md): the Fortran/MPI reference publishes no numbers
 and cannot be built in this environment (no gfortran/MPI), so `vs_baseline`
@@ -233,13 +234,15 @@ def main():
             out[key] = round(measure_flat(*args), 1)
         except Exception as e:            # noqa: BLE001
             out[key] = f"failed: {type(e).__name__}"
-    # production-scale comparators (VERDICT r4 weak #5: machine-readable)
+    # production-scale comparators (VERDICT r4 weak #5: machine-readable);
+    # UDALES_BENCH_NO_950=1 skips the driven replay if compile time is
+    # a concern
     if REF_EXAMPLES.exists():
         try:
             out["prec_949"] = round(measure_949(), 1)
         except Exception as e:            # noqa: BLE001
             out["prec_949"] = f"failed: {type(e).__name__}"
-        if os.environ.get("UDALES_BENCH_950"):
+        if not os.environ.get("UDALES_BENCH_NO_950"):
             try:
                 out["replay_950"] = round(measure_950_replay(), 1)
             except Exception as e:        # noqa: BLE001

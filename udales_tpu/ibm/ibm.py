@@ -404,7 +404,11 @@ class IBM:
         # computes anyway) + ONE scatter-add per component per substep;
         # at the measured gather cost (0.47 ms + 6.7 ns/elem) this beats
         # slot K's dense read for every occupancy the deep slots have.
-        KCAP = int(os.environ.get("UDALES_IBM_KCAP", "6"))
+        # default measured on-chip (urban 128^3 AND the 949 real-city
+        # precursor both peak at KCAP=3 with the slab-space tail; 2 loses
+        # the ~1.6%-occupancy slot to the tail and costs ~0.9 ms, >=4
+        # streams near-empty dense slots — docs/performance.md)
+        KCAP = int(os.environ.get("UDALES_IBM_KCAP", "3"))
         tail_m = slot >= KCAP                     # over merged entries
         tail = None
         ijk_tail = None
