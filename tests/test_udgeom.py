@@ -234,21 +234,30 @@ class TestCheckDiagnostics:
         assert not r["valid"]
         assert r["n_open_buildings"] == 1
 
-    @pytest.mark.parametrize("case,stl,expect_valid", [
-        ("201", "geom.201.STL", False),   # ground sheet unstitched: real
-        ("949", "geom.949.STL", True),    # clean city mesh
+    # every shipped reference STL, with its measured diagnosis: the
+    # "invalid" ones are real properties of the shipped meshes (ground
+    # sheets with hanging nodes against the buildings; two open-bottom
+    # buildings in 101/950) that the preprocessor's w-grid bottom rule
+    # and solid fill compensate for — the diagnostics must NAME them,
+    # not reject the file
+    @pytest.mark.parametrize("case,stl,expect_valid,min_touch", [
+        ("001", "flat_ground.stl", True, 0),
+        ("002", "geom.002.STL", False, 40),     # canopy posts unstitched
+        ("101", "geom.101.STL", False, 100),    # + 2 open-bottom buildings
+        ("102", "geom.102.STL", True, 0),
+        ("201", "geom.201.STL", False, 100),    # ground sheet unstitched
+        ("949", "geom.949.STL", True, 0),       # clean city mesh
+        ("950", "uDALES_shape.STL", False, 0),  # 2 open-bottom buildings
     ])
-    def test_shipped_stls(self, case, stl, expect_valid):
+    def test_shipped_stls(self, case, stl, expect_valid, min_touch):
         p = Path(f"/root/reference/examples/{case}/{stl}")
         if not p.exists():
             pytest.skip("reference examples not present")
         r = check(UDGeom(path=p))
         assert r["valid"] == expect_valid, r["issues"]
-        if case == "201":
-            # the 201 ground is a separate partially-covering sheet with
-            # hanging nodes against the buildings (the same property the
-            # IBM w-grid bottom rule compensates for, see test_inps)
-            assert r["n_touching_regions"] > 100
+        assert r["n_touching_regions"] >= min_touch
+        if case in ("101", "950"):
+            assert any("not watertight" in i for i in r["issues"])
 
 
 # ---------------------------------------------------------------------------
