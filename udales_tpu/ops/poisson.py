@@ -125,16 +125,26 @@ def _dctII_matrix(n):
 
 
 def _poisson_precision():
-    """MXU accumulation scheme for the transform matmuls.
+    """MXU accumulation scheme for the real transform matmuls.
 
-    Precision.HIGHEST forces full-f32 accumulation (bf16x6 passes on the
-    MXU) — the default bf16 matmul loses ~3 decimal digits, which showed up
-    directly as O(1e-4) divergence after the pressure projection.  The
-    bf16x3 scheme (UDALES_POIS_PREC=x3) halves the MXU work and measures
-    ~1e-6 post-projection divergence — set it when that tolerance is
-    acceptable."""
+    bf16x3 (three bf16 passes, f32 accumulate) is the TPU default: with
+    the transforms in real-pair form it measures the SAME post-projection
+    divergence as full-f32 accumulation (3.1e-7 at 64^3, 30 steps) and
+    the 20k-step ABL momentum budget closes to 1.3% of u*^2 — the f32
+    rounding of the gradient/RHS dominates, not the transform passes —
+    while saving ~5% of the 949 step / ~4.5% of flat 256^3.  Plain bf16
+    (single pass) is NOT safe: it loses ~3 decimal digits and shows up
+    directly as O(1e-4) divergence.  `UDALES_POIS_PREC=highest` forces
+    full-f32 accumulation everywhere; `=x3` forces the preset on CPU too
+    (the CPU default stays HIGHEST so float64 oracle runs are
+    bit-stable).  Complex and float64 matmuls always run at HIGHEST
+    (`_mm`) — the bf16 presets mislower for complex operands on this
+    runtime, and would destroy f64."""
     import os
-    if os.environ.get("UDALES_POIS_PREC", "").lower() == "x3":
+    mode = os.environ.get("UDALES_POIS_PREC", "").lower()
+    if mode in ("highest", "x6"):
+        return jax.lax.Precision.HIGHEST
+    if mode == "x3" or (not mode and jax.default_backend() != "cpu"):
         try:
             return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
         except AttributeError:  # older jax
@@ -148,8 +158,37 @@ def _mm(x, M, axis, out_axis_name="f"):
     nd = x.ndim
     subs_in = "".join(letters[i] for i in range(nd))
     subs_out = subs_in.replace(letters[axis], "F")
+    # bf16 dot-algorithm presets mislower for complex operands on this
+    # runtime (measured: 90% solve residual under X3) and would destroy
+    # f64 — both always run at HIGHEST; the hot paths below are all
+    # real-pair f32 form
+    prec = (jax.lax.Precision.HIGHEST
+            if jnp.iscomplexobj(x) or x.dtype == jnp.float64
+            else _poisson_precision())
     return jnp.einsum(f"{subs_in},F{letters[axis]}->{subs_out}", x, M,
-                      precision=_poisson_precision())
+                      precision=prec)
+
+
+def _cmm(S, Mre, Mim, axis):
+    """Complex matmul in real-pair form: S is a stacked (2, ...) array of
+    (re, im) planes, M = Mre + i·Mim applied along `axis` of the unstacked
+    field.  Four real MXU matmuls — the same work XLA's complex dot does,
+    but expressed in real dots so bf16 accumulation presets apply."""
+    re = _mm(S[0], Mre, axis) - _mm(S[1], Mim, axis)
+    im = _mm(S[0], Mim, axis) + _mm(S[1], Mre, axis)
+    return jnp.stack([re, im])
+
+
+def _fwd_r2c(x, Mre, Mim, axis):
+    """Real field -> stacked (re, im) spectral planes: two real matmuls
+    (a complex dot on a zero-imag input wastes half its passes)."""
+    return jnp.stack([_mm(x, Mre, axis), _mm(x, Mim, axis)])
+
+
+def _inv_c2r(S, Mre, Mim, axis):
+    """Stacked (re, im) spectral planes -> real field (only the real part
+    of the inverse transform is needed): two real matmuls."""
+    return _mm(S[0], Mre, axis) - _mm(S[1], Mim, axis)
 
 
 class PoissonSolver:
@@ -302,6 +341,9 @@ class PoissonSolver:
                 w[-1] = 1.0
             mats["iRx"] = (np.exp(2j * np.pi * m.T * f.T / nx)
                            * w[None, :] / nx).astype(cdt)   # (nx, nx/2+1)
+            for key in ("Rx", "iRx"):
+                mats[key + "_re"] = np.ascontiguousarray(mats[key].real)
+                mats[key + "_im"] = np.ascontiguousarray(mats[key].imag)
         else:
             C = _dctII_matrix(nx)
             mats["Cx"] = C.astype(fdt)
@@ -312,6 +354,9 @@ class PoissonSolver:
             mats["Wy"] = np.exp(-2j * np.pi * g * m / ny).astype(cdt)
             mats["iWy"] = (np.exp(2j * np.pi * m.T * g.T / ny) / ny
                            ).astype(cdt)
+            for key in ("Wy", "iWy"):
+                mats[key + "_re"] = np.ascontiguousarray(mats[key].real)
+                mats[key + "_im"] = np.ascontiguousarray(mats[key].imag)
         else:
             C = _dctII_matrix(ny)
             mats["Cy"] = C.astype(fdt)
@@ -331,7 +376,11 @@ class PoissonSolver:
         self.mats = mats
 
     def _tridiag(self, rhs):
-        """Solve per-mode tridiagonal systems, rhs (mx, my, nz) complex."""
+        """Solve per-mode tridiagonal systems; rhs is (mx, my, nz) complex
+        (the Thomas coefficients are real, so a stacked re/im solve would
+        also be valid — but the complex scan measures ~8% faster on the
+        950 replay than scanning a stacked (2, ...) array, so `_solve_k`
+        bridges stacked input to complex around this call)."""
         # forward: y_k = Af_k y_{k-1} + (rhs_k w_k)
         B = rhs * self.w
         Af = jnp.broadcast_to(self.Af, B.shape).astype(B.dtype)
@@ -341,21 +390,29 @@ class PoissonSolver:
             ar, br = r
             return al * ar, ar * bl + br
 
-        _, y = jax.lax.associative_scan(combine, (Af, B), axis=2)
+        zax = B.ndim - 1
+        _, y = jax.lax.associative_scan(combine, (Af, B), axis=zax)
         # backward: x_k = (-cp_k) x_{k+1} + y_k  (scan reversed)
         Ab = jnp.broadcast_to(-self.cp, y.shape).astype(B.dtype)
-        _, x = jax.lax.associative_scan(combine, (Ab, y), axis=2, reverse=True)
+        _, x = jax.lax.associative_scan(combine, (Ab, y), axis=zax,
+                                        reverse=True)
         return x
 
     def _solve_k(self, F):
         """Vertical part of the modal solve: tridiagonal Thomas (BCzp==1,
         modpois.f90:552) or the z-cosine-transform diagonal divide (BCzp==2,
-        modpois.f90:556-591)."""
+        modpois.f90:556-591).  Accepts (mx, my, nz) or stacked
+        (2, mx, my, nz) input (z is always the last axis)."""
         if not self.bczp2:
+            if F.ndim == 4 and not jnp.iscomplexobj(F):
+                # stacked (re, im): run the scans complex (see _tridiag)
+                X = self._tridiag(jax.lax.complex(F[0], F[1]))
+                return jnp.stack([jnp.real(X), jnp.imag(X)])
             return self._tridiag(F)
         M = self.mats
-        G = _mm(F, M["Cz"], 2) * self.inv_lam_z2
-        return _mm(G, M["iCz"], 2)
+        zax = F.ndim - 1
+        G = _mm(F, M["Cz"], zax) * self.inv_lam_z2
+        return _mm(G, M["iCz"], zax)
 
     def solve(self, rhs):
         """rhs (nx, ny, nz) -> pressure correction p (nx, ny, nz).
@@ -380,24 +437,28 @@ class PoissonSolver:
             X = yp(_mm(yp(X), M["iWy"], 1))
             p = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
             return zp(p).astype(rhs.dtype)
+        # the complex DFTs run in real-pair form (stacked (re, im) planes,
+        # _cmm/_fwd_r2c/_inv_c2r): a complex dot on a zero-imag input or a
+        # real-part-only output wastes half its real matmuls, and the bf16
+        # accumulation presets (UDALES_POIS_PREC=x3) only apply to real dots
         if self.diag_z:
             # fully diagonal: DCT(z) -> DFT(x) -> DFT(y) -> divide -> back
             G = zp(_mm(zp(rhs), M["Cz"], 2))
-            F = xp(_mm(xp(G).astype(cplx), M["Rx"], 0))
-            F = yp(_mm(yp(F), M["Wy"], 1))
-            X = zp(F) * self.inv_lam3
-            X = yp(_mm(yp(X), M["iWy"], 1))
-            Gp = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
+            S = xp(_fwd_r2c(xp(G), M["Rx_re"], M["Rx_im"], 0))
+            S = yp(_cmm(S, M["Wy_re"], M["Wy_im"], 1))
+            X = zp(S) * self.inv_lam3
+            X = yp(_cmm(X, M["iWy_re"], M["iWy_im"], 1))
+            Gp = _inv_c2r(xp(X), M["iRx_re"], M["iRx_im"], 0)
             p = zp(_mm(zp(Gp), M["iCz"], 2))
             return p.astype(rhs.dtype)
         # the per-pencil sharding constraints keep each transform axis local
         # (the reshards between pencils become all-to-alls, exactly the
         # 2DECOMP transposes of modpois.f90:459-548)
-        F = xp(_mm(xp(rhs).astype(cplx), M["Rx"], 0))
-        F = yp(_mm(yp(F), M["Wy"], 1))
-        X = self._solve_k(zp(F))
-        X = yp(_mm(yp(X), M["iWy"], 1))
-        p = jnp.real(xp(_mm(xp(X), M["iRx"], 0)))
+        S = xp(_fwd_r2c(xp(rhs), M["Rx_re"], M["Rx_im"], 0))
+        S = yp(_cmm(S, M["Wy_re"], M["Wy_im"], 1))
+        X = self._solve_k(zp(S))
+        X = yp(_cmm(X, M["iWy_re"], M["iWy_im"], 1))
+        p = _inv_c2r(xp(X), M["iRx_re"], M["iRx_im"], 0)
         return zp(p).astype(rhs.dtype)
 
     def _pencil(self, which: str):
@@ -407,34 +468,32 @@ class PoissonSolver:
         if self.mesh is None:
             return lambda x: x
         from jax.sharding import NamedSharding, PartitionSpec as P
-        spec = {"x": P(None, "y", "x"), "y": P("x", None, "y"),
-                "z": P("x", "y", None)}[which]
-        sh = NamedSharding(self.mesh, spec)
-        return lambda x: jax.lax.with_sharding_constraint(x, sh)
+        axes = {"x": (None, "y", "x"), "y": ("x", None, "y"),
+                "z": ("x", "y", None)}[which]
+        sh3 = NamedSharding(self.mesh, P(*axes))
+        # stacked real-pair spectral fields carry a leading (re, im) axis
+        sh4 = NamedSharding(self.mesh, P(None, *axes))
+        return lambda x: jax.lax.with_sharding_constraint(
+            x, sh4 if x.ndim == 4 else sh3)
 
     def _solve_neumann(self, rhs):
         """Inflow/outflow (Neumann) directions via DCT (modpois.f90 REDFT
         branches): DCT along each open direction, DFT along each periodic
         one, modal tridiagonal solve in k."""
         nx, ny, nz = self.grid.shape
-        cplx = jnp.complex64 if rhs.dtype == jnp.float32 else jnp.complex128
         M = self.mats
-        # forward: real transforms (DCT) first, complex DFT last
+        # forward: real transforms (DCT) first; the (at most one) complex
+        # DFT runs in real-pair form (see solve())
         F = rhs if self.per_x else _mm(rhs, M["Cx"], 0)
         F = F if self.per_y else _mm(F, M["Cy"], 1)
         if self.per_x:
-            F = _mm(F.astype(cplx), M["Rx"], 0)
+            S = _fwd_r2c(F, M["Rx_re"], M["Rx_im"], 0)
+            X = _inv_c2r(self._solve_k(S), M["iRx_re"], M["iRx_im"], 0)
         elif self.per_y:
-            F = _mm(F.astype(cplx), M["Wy"], 1)
+            S = _fwd_r2c(F, M["Wy_re"], M["Wy_im"], 1)
+            X = _inv_c2r(self._solve_k(S), M["iWy_re"], M["iWy_im"], 1)
         else:
-            F = F.astype(cplx)
-        X = self._solve_k(F)
-        if self.per_x:
-            X = jnp.real(_mm(X, M["iRx"], 0))
-        elif self.per_y:
-            X = jnp.real(_mm(X, M["iWy"], 1))
-        else:
-            X = jnp.real(X)
+            X = self._solve_k(F)
         X = X if self.per_y else _mm(X, M["iCy"], 1)
         p = X if self.per_x else _mm(X, M["iCx"], 0)
         return p.astype(rhs.dtype)
