@@ -26,8 +26,16 @@ def test_uniform():
 @pytest.mark.parametrize("method", ["exp", "tanh", "2tanh"])
 def test_stretch_methods(method):
     ktot, zsize, hlin, dzlin = 64, 400.0, 40.0, 1.0
-    zh = zgrid_faces(ktot, zsize, lzstretch=True, method=method,
-                     hlin=hlin, dzlin=dzlin, stretchconst=3.0)
+    # exp/tanh deliberately coarsen hard toward the lid and the advisory
+    # warning is part of the contract (udprep_grid.py warns the same
+    # way) — assert it instead of letting it leak into the summary;
+    # 2tanh refines again at the lid, so its final spacing stays small
+    import contextlib
+    expect = (pytest.warns(RuntimeWarning, match="final grid spacing")
+              if method != "2tanh" else contextlib.nullcontext())
+    with expect:
+        zh = zgrid_faces(ktot, zsize, lzstretch=True, method=method,
+                         hlin=hlin, dzlin=dzlin, stretchconst=3.0)
     dz = _check_basic(zh, ktot, zsize, hlin, dzlin)
     il = int(round(hlin / dzlin))
     # first stretched spacing at least the linear one (the fit criterion,
@@ -45,8 +53,9 @@ def test_expcheck_alpha_identity():
     dzlin*ir/L, and the first stretched spacing is C1-matched (== dzlin to
     first order)."""
     ktot, zsize, hlin, dzlin = 48, 300.0, 24.0, 1.0
-    zh = zgrid_faces(ktot, zsize, lzstretch=True, method="expcheck",
-                     hlin=hlin, dzlin=dzlin)
+    with pytest.warns(RuntimeWarning, match="stretch factor outside"):
+        zh = zgrid_faces(ktot, zsize, lzstretch=True, method="expcheck",
+                         hlin=hlin, dzlin=dzlin)
     dz = _check_basic(zh, ktot, zsize, hlin, dzlin)
     il = int(round(hlin / dzlin))
     # smooth transition: spacing ratio near 1 at the junction
@@ -73,9 +82,11 @@ def test_prepare_case_stretched(tmp_path):
                      zsize=100.0, expnr="905", lzstretch=True,
                      stretch_method="tanh", hlin=10.0, dzlin=1.0,
                      stretchconst=2.0)
-    prepare_case(tmp_path / "g.stl", tmp_path, cfg)
-    zf_want = zgrid_centers(32, 100.0, lzstretch=True, method="tanh",
-                            hlin=10.0, dzlin=1.0, stretchconst=2.0)
+    with pytest.warns(RuntimeWarning, match="final grid spacing large"):
+        prepare_case(tmp_path / "g.stl", tmp_path, cfg)
+    with pytest.warns(RuntimeWarning, match="final grid spacing large"):
+        zf_want = zgrid_centers(32, 100.0, lzstretch=True, method="tanh",
+                                hlin=10.0, dzlin=1.0, stretchconst=2.0)
     prof = np.loadtxt(tmp_path / "prof.inp.905", skiprows=2)
     np.testing.assert_allclose(prof[:, 0], zf_want, atol=1e-5)
     g = Grid.from_prof_inp(tmp_path / "prof.inp.905", 16, 16, 32, 16.0,
