@@ -36,7 +36,11 @@ CACHE = Path(__file__).parent / ".bench_cache"
 
 def _time_run(model, state, nsteps):
     """Best-of-3 of a lax.scan over nsteps (timing python-level step calls
-    would measure dispatch RTT, not compute — docs/performance.md)."""
+    would measure dispatch RTT, not compute — docs/performance.md).
+    nsteps also sets how far the ~25 ms tunnel dispatch RTT is amortized:
+    at 10 steps it inflates the per-step read by ~2.5 ms, so the
+    per-case counts below are sized to keep that under ~0.5 ms/step
+    (production runs scan thousands of steps per dispatch)."""
     import jax
     run = jax.jit(lambda s: model.run(s, nsteps))
     state = jax.block_until_ready(run(state))   # compile + warmup
@@ -127,7 +131,7 @@ def measure_urban(n=128, nsteps=10):
 REF_EXAMPLES = Path("/root/reference/examples")
 
 
-def measure_949(nsteps=10):
+def measure_949(nsteps=30):
     """Production-scale comparator: the shipped 949 precursor
     (256x128x128, real-city STL, nfcts=22881), loaded from its committed
     inputs and stepped on the chip (examples/949/namoptions.949)."""
@@ -140,12 +144,12 @@ def measure_949(nsteps=10):
 def _stage_950_replay():
     """Copy examples/950 into the cache and synthesize full-size driver
     planes (the reference ships only tdriver times): a log-profile inlet
-    plus deterministic perturbations, 40 records at dtdriver=1 s, written
+    plus deterministic perturbations, 120 records at dtdriver=1 s, written
     through the reference ?driver_* binary format (moddriver.f90
     writedriverfile:515)."""
     import shutil
     from udales_tpu.io.driverfiles import write_driver_files
-    case = CACHE / "replay950"
+    case = CACHE / "replay950v2"
     nam = case / "namoptions.950"
     if nam.exists():
         return case
@@ -155,7 +159,7 @@ def _stage_950_replay():
         if p.is_file():
             shutil.copy(p, case / p.name)
     jt = kt = 128
-    nt = 40
+    nt = 120
     t = np.arange(nt, dtype=np.float64)
     rng = np.random.default_rng(7)
     z = (np.arange(kt) + 0.5) * (128.0 / kt)
@@ -183,7 +187,7 @@ def _stage_950_replay():
     return case
 
 
-def measure_950_replay(nsteps=10):
+def measure_950_replay(nsteps=20):
     """Driven full-size replay segment: DriverStream (lchunkread) window
     + BCxm=3 driver inlet + convective outflow, stepped on the chip."""
     import jax
@@ -216,7 +220,7 @@ def main():
             "baseline": "measured:this-solver-on-host-cpu-64^3",
         }))
         return
-    urban, model = measure_urban(128, 10)
+    urban, model = measure_urban(128, 50)
     out = {
         "metric": "rk3_step_urban_ibm_grid_points_per_s_per_chip",
         "value": round(urban, 1),
@@ -229,7 +233,7 @@ def main():
     }
     # flat comparators: best-effort (a slow remote compile must not cost
     # the primary number)
-    for key, args in (("flat_128", (128, 20)), ("flat_256", (256, 10))):
+    for key, args in (("flat_128", (128, 50)), ("flat_256", (256, 20))):
         try:
             out[key] = round(measure_flat(*args), 1)
         except Exception as e:            # noqa: BLE001
