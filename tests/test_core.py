@@ -115,6 +115,27 @@ class TestPoisson:
         ps = p_sol - jnp.mean(p_sol)
         assert np.allclose(ps, p0, atol=1e-8), np.abs(ps - p0).max()
 
+    def test_x3_preset_never_touches_f64(self, monkeypatch):
+        """Forcing the bf16x3 transform preset must leave float64 solves
+        at full-precision tolerances: `_mm` pins f64 (and complex)
+        matmuls to Precision.HIGHEST regardless of UDALES_POIS_PREC
+        (ops/poisson.py), so the f64 oracle suite stays bit-stable even
+        where x3 is the platform default."""
+        monkeypatch.setenv("UDALES_POIS_PREC", "x3")
+        cfg = make_cfg()
+        d = cfg.domain
+        grid = Grid.uniform(d.itot, d.jtot, d.ktot, d.xlen, d.ylen, 8.0,
+                            dtype=np.float64)
+        pois = PoissonSolver(grid, cfg)
+        rng = np.random.default_rng(2)
+        p = jnp.asarray(rng.standard_normal(grid.shape))
+        p0 = p - jnp.mean(p)
+        rhs = self._neumann_z_laplacian(grid, p0)
+        # wrap-x Laplacian == per_x=True variant on this periodic cfg
+        p_sol = pois.solve(rhs)
+        ps = p_sol - jnp.mean(p_sol)
+        assert np.allclose(ps, p0, atol=1e-8), np.abs(ps - p0).max()
+
     def _neumann_z_laplacian(self, grid, p, per_x=True):
         """Discrete Laplacian, periodic or Neumann x, periodic y, Neumann z."""
         if per_x:
