@@ -220,6 +220,11 @@ def main():
             "baseline": "measured:this-solver-on-host-cpu-64^3",
         }))
         return
+    t0 = time.time()
+    # soft deadline for the OPTIONAL comparators: if remote compiles run
+    # long, skip remaining cases so the JSON line always prints before
+    # any outer harness timeout (override via UDALES_BENCH_BUDGET_S)
+    budget = float(os.environ.get("UDALES_BENCH_BUDGET_S", "1500"))
     urban, model = measure_urban(128, 50)
     out = {
         "metric": "rk3_step_urban_ibm_grid_points_per_s_per_chip",
@@ -231,26 +236,27 @@ def main():
         "baseline": "estimate:fortran-mpi-2.0e6-pts/s/core (BASELINE.md; "
                     "reference unbuildable here — no gfortran/MPI)",
     }
-    # flat comparators: best-effort (a slow remote compile must not cost
-    # the primary number)
-    for key, args in (("flat_128", (128, 50)), ("flat_256", (256, 20))):
+
+    def optional(key, fn):
+        if time.time() - t0 > budget:
+            out[key] = "skipped: bench time budget"
+            return
         try:
-            out[key] = round(measure_flat(*args), 1)
+            out[key] = round(fn(), 1)
         except Exception as e:            # noqa: BLE001
             out[key] = f"failed: {type(e).__name__}"
+
+    # flat comparators: best-effort (a slow remote compile must not cost
+    # the primary number)
+    optional("flat_128", lambda: measure_flat(128, 50))
+    optional("flat_256", lambda: measure_flat(256, 20))
     # production-scale comparators (VERDICT r4 weak #5: machine-readable);
     # UDALES_BENCH_NO_950=1 skips the driven replay if compile time is
     # a concern
     if REF_EXAMPLES.exists():
-        try:
-            out["prec_949"] = round(measure_949(), 1)
-        except Exception as e:            # noqa: BLE001
-            out["prec_949"] = f"failed: {type(e).__name__}"
+        optional("prec_949", measure_949)
         if not os.environ.get("UDALES_BENCH_NO_950"):
-            try:
-                out["replay_950"] = round(measure_950_replay(), 1)
-            except Exception as e:        # noqa: BLE001
-                out["replay_950"] = f"failed: {type(e).__name__}"
+            optional("replay_950", measure_950_replay)
     print(json.dumps(out))
 
 
